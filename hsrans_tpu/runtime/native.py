@@ -1,0 +1,162 @@
+"""ctypes bindings to the C++ host runtime (native/libhsrans_native.so).
+
+The native library carries the host-side hot paths: byte histogramming,
+exact float32 histogram normalization, the greedy block-segmentation
+planner, FNV hashing, and a thread pool for host-side pipelining.  Every
+entry point has a pure-numpy fallback (hsrans_tpu.models / ops) so the
+framework works without a compiled library; tests assert both agree.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_REPO = Path(__file__).resolve().parent.parent.parent
+_SO = _REPO / "native" / "libhsrans_native.so"
+
+_lib = None
+
+
+class PlanRow(ctypes.Structure):
+    _fields_ = [
+        ("start", ctypes.c_uint64),
+        ("size", ctypes.c_uint64),
+        ("is_single", ctypes.c_uint32),
+        ("symbol", ctypes.c_uint32),
+        ("freq", ctypes.c_uint16 * 256),
+    ]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_REPO / "native"), "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _SO.exists()
+    except Exception:
+        return False
+
+
+def load(build_if_missing: bool = True):
+    """Load (building on demand) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists() and (not build_if_missing or not _build()):
+        return None
+    lib = ctypes.CDLL(str(_SO))
+
+    lib.hsr_fnv1a.restype = ctypes.c_uint64
+    lib.hsr_fnv1a.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+    lib.hsr_observe_hist.restype = None
+    lib.hsr_observe_hist.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.hsr_normalize_hist.restype = None
+    lib.hsr_normalize_hist.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_uint64,
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
+    lib.hsr_plan_blocks.restype = ctypes.c_int64
+    lib.hsr_plan_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint64,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_uint64,
+        ctypes.POINTER(PlanRow),
+        ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def fnv1a(data: bytes) -> int:
+    lib = load()
+    if lib is None:
+        h = 0xCBF29CE484222325
+        for b in data:
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+    return int(lib.hsr_fnv1a(bytes(data), len(data)))
+
+
+def observe_hist(data: np.ndarray) -> np.ndarray | None:
+    lib = load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.zeros(256, dtype=np.uint32)
+    lib.hsr_observe_hist(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        data.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
+
+
+def normalize_hist(hist: np.ndarray, data_bytes: int, bits: int) -> tuple[np.ndarray, np.ndarray] | None:
+    lib = load()
+    if lib is None:
+        return None
+    hist = np.ascontiguousarray(hist, dtype=np.uint32)
+    freq = np.zeros(256, dtype=np.uint16)
+    cumul = np.zeros(256, dtype=np.uint16)
+    lib.hsr_normalize_hist(
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        data_bytes,
+        bits,
+        freq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        cumul.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    return freq, cumul
+
+
+def plan_blocks(data: np.ndarray, bits: int, mode: str, state_count: int) -> list[dict] | None:
+    """Greedy block segmentation via the native planner.
+
+    mode: "block" (cross-block state continuity codec) or "mt" (independent
+    blocks).  Returns rows in input order (reversed from plan order).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    max_rows = int(data.size // (1 << 15)) + 16
+    rows = (PlanRow * max_rows)()
+    n = lib.hsr_plan_blocks(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        data.size,
+        bits,
+        1 if mode == "mt" else 0,
+        state_count,
+        rows,
+        max_rows,
+    )
+    if n <= 0:
+        return None
+    out = []
+    for i in range(n - 1, -1, -1):  # planner emits last block first
+        r = rows[i]
+        out.append(
+            {
+                "start": int(r.start),
+                "size": int(r.size),
+                "is_single": bool(r.is_single),
+                "symbol": int(r.symbol),
+                "freq": np.ctypeslib.as_array(r.freq).copy(),
+            }
+        )
+    return out
