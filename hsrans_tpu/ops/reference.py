@@ -67,26 +67,30 @@ def _gather_group_bytes(data: np.ndarray, length: int, n: int) -> tuple[np.ndarr
     return padded[pos % max(total * n, 1)], pos < length
 
 
-def raw_encode_16w(data: bytes | np.ndarray, hist: Hist, n_lanes: int) -> bytes:
-    """Encode one buffer with a static histogram; returns the wire blob."""
-    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
-    length = arr.size
-    n = n_lanes
+def encode_groups(
+    states: np.ndarray,
+    groups: np.ndarray,  # u8[G, n] in lane order
+    valid: np.ndarray,  # bool[G, n]
+    hist: Hist,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode groups in reverse order (rANS is LIFO) with carried states.
+
+    Returns (words u16[G, n], emit mask bool[G, n], states).  The forward
+    wire stream for this section is words[emits] flattened (group asc, lane
+    asc) — the reverse of the reference's emission sequence.  Within a group
+    every lane is independent (the reference's j-descending order only fixes
+    the emission sequence, recovered by construction here), so lanes
+    vectorize.
+    """
     bits = hist.total_symbol_count_bits
     emit_point = _U32(encode_emit_point_16(bits))
     freq_tab = hist.symbol_count.astype(_U32)
     cumul_tab = hist.cumul.astype(_U32)
-
-    states = np.full(n, DECODE_CONSUME_POINT_16, dtype=_U32)
-    groups, valid = _gather_group_bytes(arr, length, n)
     total_groups = groups.shape[0]
-
+    n = groups.shape[1]
     words = np.zeros((total_groups, n), dtype=np.uint16)
     emits = np.zeros((total_groups, n), dtype=bool)
 
-    # Backward over groups.  Within a group every lane is independent (the
-    # reference's j-descending order only fixes the emission sequence, which
-    # we recover by construction below), so lanes vectorize.
     for g in range(total_groups - 1, -1, -1):
         v = valid[g]
         b = groups[g]
@@ -98,6 +102,18 @@ def raw_encode_16w(data: bytes | np.ndarray, hist: Hist, n_lanes: int) -> bytes:
         new_states = ((states // np.maximum(freq, 1)) << _U32(bits)) + cumul_tab[b] + (states % np.maximum(freq, 1))
         states = np.where(v, new_states, states)
         emits[g] = emit
+    return words, emits, states
+
+
+def raw_encode_16w(data: bytes | np.ndarray, hist: Hist, n_lanes: int) -> bytes:
+    """Encode one buffer with a static histogram; returns the wire blob."""
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    length = arr.size
+    n = n_lanes
+
+    states = np.full(n, DECODE_CONSUME_POINT_16, dtype=_U32)
+    groups, valid = _gather_group_bytes(arr, length, n)
+    words, emits, states = encode_groups(states, groups, valid, hist)
 
     # Forward wire stream = reversed emission order = (group asc, lane asc).
     stream = words[emits]
@@ -142,6 +158,71 @@ def raw_decode_16w(blob: bytes | np.ndarray, total_symbol_count_bits: int, n_lan
     return out.tobytes()
 
 
+def decode_full_groups(
+    states: np.ndarray,
+    stream: np.ndarray,
+    read_pos: int,
+    hist: Hist,
+    n: int,
+    num_groups: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Decode `num_groups` full lane groups with carried states.
+
+    Returns (symbols [num_groups, n] in lane order, states, read_pos).
+    This is the reference's `decode_section` inner loop shape
+    (block_codec64.h:173-217) — block/mt codecs chain it across blocks.
+    """
+    bits = hist.total_symbol_count_bits
+    mask_slot = _U32((1 << bits) - 1)
+    inv_tab = make_cumul_inv(hist)
+    freq_of = hist.symbol_count.astype(_U32)
+    cumul_of = hist.cumul.astype(_U32)
+    syms = np.zeros((num_groups, n), dtype=np.uint8)
+    r = read_pos
+    for g in range(num_groups):
+        slot = states & mask_slot
+        sym = inv_tab[slot]
+        syms[g] = sym
+        s64 = sym.astype(np.int64)
+        states = (states >> _U32(bits)) * freq_of[s64] + slot - cumul_of[s64]
+        consume = states < _U32(DECODE_CONSUME_POINT_16)
+        offs = np.cumsum(consume) - consume
+        w = stream[r + offs].astype(_U32)
+        states = np.where(consume, (states << _U32(16)) | w, states)
+        r += int(consume.sum())
+    return syms, states, r
+
+
+def decode_tail_group(
+    states: np.ndarray,
+    stream: np.ndarray,
+    read_pos: int,
+    hist: Hist,
+    n: int,
+    start: int,
+    length: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Decode the final partial group: lane j participates (and consumes)
+    only if start + idx2idx[j] < length (rANS32x32_16w.cpp:238-266)."""
+    bits = hist.total_symbol_count_bits
+    mask_slot = _U32((1 << bits) - 1)
+    inv_tab = make_cumul_inv(hist)
+    freq_of = hist.symbol_count.astype(_U32)
+    cumul_of = hist.cumul.astype(_U32)
+    perm = IDX2IDX[n]
+    v = (start + perm) < length
+    slot = states & mask_slot
+    sym = inv_tab[slot]
+    s64 = sym.astype(np.int64)
+    new_states = (states >> _U32(bits)) * freq_of[s64] + slot - cumul_of[s64]
+    states_t = np.where(v, new_states, states)
+    consume = (states_t < _U32(DECODE_CONSUME_POINT_16)) & v
+    offs = np.cumsum(consume) - consume
+    w = stream[read_pos + offs].astype(_U32)
+    states = np.where(consume, (states_t << _U32(16)) | w, states_t)
+    return np.where(v, sym, 0), states, read_pos + int(consume.sum())
+
+
 def _decode_section_16w(
     states: np.ndarray,
     stream: np.ndarray,
@@ -151,69 +232,21 @@ def _decode_section_16w(
     hist: Hist,
     n: int,
 ) -> tuple[np.ndarray, tuple[np.ndarray, int]]:
-    """Decode symbols [start, length) given current states/read position.
+    """Decode symbols [start, length): full groups then the masked tail.
 
-    Returns (decoded bytes for the whole [start, length) span in output
-    order, (final states, final read position)).  Exposed separately so the
-    block/mt codecs can chain sections with carried states.
+    Returns (decoded bytes for the span in output order, (states, read pos)).
     """
-    bits = hist.total_symbol_count_bits
-    mask_slot = _U32((1 << bits) - 1)
-    inv_tab = make_cumul_inv(hist)
-    freq_of = hist.symbol_count.astype(_U32)
-    cumul_of = hist.cumul.astype(_U32)
-    inv_perm = INV_IDX2IDX[n]
-    perm = IDX2IDX[n]
-
     span = length - start
-    full, total = _group_layout_span(span, length, start, n)
-    syms = np.zeros((total, n), dtype=np.uint8)
-    r = read_pos
-
-    for g in range(full):
-        slot = states & mask_slot
-        sym = inv_tab[slot]
-        syms[g] = sym
-        s32 = sym.astype(np.int64)
-        states = (states >> _U32(bits)) * freq_of[s32] + slot - cumul_of[s32]
-        consume = states < _U32(DECODE_CONSUME_POINT_16)
-        offs = np.cumsum(consume) - consume
-        w = stream[r + offs].astype(_U32)
-        states = np.where(consume, (states << _U32(16)) | w, states)
-        r += int(consume.sum())
-
-    if total > full:
-        g = total - 1
-        i = start + g * n
-        v = (i + perm) < length
-        slot = states & mask_slot
-        sym = inv_tab[slot]
-        syms[g] = np.where(v, sym, 0)
-        s32 = sym.astype(np.int64)
-        new_states = (states >> _U32(bits)) * freq_of[s32] + slot - cumul_of[s32]
-        states_t = np.where(v, new_states, states)
-        consume = (states_t < _U32(DECODE_CONSUME_POINT_16)) & v
-        offs = np.cumsum(consume) - consume
-        w = stream[r + offs].astype(_U32)
-        states = np.where(consume, (states_t << _U32(16)) | w, states_t)
-        r += int(consume.sum())
-
-    out = syms[:, inv_perm].reshape(-1)[:span]
-    return out, (states, r)
-
-
-def _group_layout_span(span: int, length: int, start: int, n: int) -> tuple[int, int]:
-    """Group counts for a section [start, length) — used by block codecs.
-
-    Mirrors the main-loop condition `i < outLengthInStates` with
-    outLengthInStates = length - n + 1, iterating i from `start` by n.
-    """
     if span <= 0:
-        return 0, 0
+        return np.zeros(0, dtype=np.uint8), (states, read_pos)
     total = -(-span // n)
     out_len_in_states = length - n + 1
-    if out_len_in_states <= start:
-        full = 0
-    else:
-        full = -(-(out_len_in_states - start) // n)
-    return full, total
+    full = 0 if out_len_in_states <= start else -(-(out_len_in_states - start) // n)
+
+    syms, states, r = decode_full_groups(states, stream, read_pos, hist, n, full)
+    parts = [syms]
+    if total > full:
+        tail, states, r = decode_tail_group(states, stream, r, hist, n, start + full * n, length)
+        parts.append(tail[None, :])
+    out = np.concatenate(parts, axis=0)[:, INV_IDX2IDX[n]].reshape(-1)[:span]
+    return out, (states, r)

@@ -49,7 +49,9 @@ def load(build_if_missing: bool = True):
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() and (not build_if_missing or not _build()):
+    if build_if_missing:
+        _build()  # make is mtime-based: rebuilds only when sources changed
+    if not _SO.exists():
         return None
     lib = ctypes.CDLL(str(_SO))
 

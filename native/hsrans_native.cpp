@@ -140,9 +140,14 @@ void hsr_normalize_hist(const uint32_t *hist, uint64_t data_bytes, uint32_t bits
 // mode: 0 = block codec constants, 1 = mt codec constants (different
 // HistReplaceMul tables and a header-amortization term, mt_...enc.cpp:21-26,102).
 
-static const uint16_t kHistReplaceMulBlock[6] = {4000, 7730, 5600, 2500, 1500, 850};  // bits 10..15
-static const uint16_t kHistReplaceMulMt[6] = {500, 500, 500, 500, 500, 50};           // bits 10..15
-static const uint8_t kMinBlockBitsBlock[6] = {20, 19, 16, 17, 17, 16};                // bits 10..15
+// Tuning tables, bits 10..15.  The 64- and 32-state block codecs were tuned
+// separately in the reference (block_rANS32x64_16w_encode.cpp:21-39 vs
+// block_rANS32x32_16w_encode.cpp:21-39); the mt codecs share one table.
+static const uint16_t kHistReplaceMulBlock64[6] = {4000, 7730, 5600, 2500, 1500, 850};
+static const uint16_t kHistReplaceMulBlock32[6] = {4000, 7730, 5600, 3120, 2087, 822};
+static const uint16_t kHistReplaceMulMt[6] = {500, 500, 500, 500, 500, 50};
+static const uint8_t kMinBlockBitsBlock64[6] = {20, 19, 16, 17, 17, 16};
+static const uint8_t kMinBlockBitsBlock32[6] = {20, 19, 15, 17, 17, 18};
 static const uint8_t kMinBlockBitsMt[6] = {16, 16, 16, 16, 16, 16};
 
 struct SegPlanRow {
@@ -189,8 +194,12 @@ int64_t hsr_plan_blocks(const uint8_t *data, uint64_t length, uint32_t bits,
                         uint32_t mode, uint64_t state_count,
                         SegPlanRow *rows, int64_t max_rows) {
   if (length == 0 || bits < 10 || bits > 15) return 0;
-  const uint32_t replace_mul = (mode == 1 ? kHistReplaceMulMt : kHistReplaceMulBlock)[bits - 10];
-  const uint64_t min_block = 1ull << (mode == 1 ? kMinBlockBitsMt : kMinBlockBitsBlock)[bits - 10];
+  const uint32_t replace_mul =
+      (mode == 1 ? kHistReplaceMulMt
+                 : (state_count == 32 ? kHistReplaceMulBlock32 : kHistReplaceMulBlock64))[bits - 10];
+  const uint64_t min_block =
+      1ull << (mode == 1 ? kMinBlockBitsMt
+                         : (state_count == 32 ? kMinBlockBitsBlock32 : kMinBlockBitsBlock64))[bits - 10];
   const bool has_max_block = mode == 1;
   const uint64_t max_block = 1ull << 25;
   const uint64_t sc_mask = state_count - 1;

@@ -3,10 +3,17 @@ without TPU hardware, and Pallas kernels run in interpret mode on CPU."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon TPU plugin (sitecustomize) force-selects jax_platforms="axon,cpu"
+# at interpreter start; override it before any backend is initialized so
+# tests run on the virtual 8-device CPU mesh deterministically.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import subprocess
 import sys
