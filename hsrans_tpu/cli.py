@@ -1,0 +1,179 @@
+"""hsrans-compatible benchmark/test CLI.
+
+Mirrors the reference binary's interface (main.cpp:367-399):
+
+  python -m hsrans_tpu.cli <file> [flags]
+
+    --test              run every codec/variant once and validate roundtrips
+    --all               include all variants (default: relevant set)
+    --hist-min N        minimum TotalSymbolCountBits (default 10)
+    --hist-max N        maximum TotalSymbolCountBits (default 15)
+    --include-raw/--exclude-raw, --include-mt/--exclude-mt,
+    --include-32blk/--exclude-32blk, --include-block/--exclude-block,
+    --include-tpx/--exclude-tpx
+    --runs N            timed runs per codec (default 3)
+    --max-simd <level>  accepted for flag parity; maps to backend choice:
+                        'none' forces the numpy scalar paths (the reference's
+                        capability-downgrade test, main.cpp:463-618)
+    --backend {auto,device,numpy}
+
+Output mirrors the reference's table: ratio, encode/decode MiB/s (min/avg).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _build_codecs(args) -> list[dict]:
+    from .models.histogram import make_hist
+    from .ops import blk32, block, mt, reference
+    from .ops.tpx import tpx_decode, tpx_encode
+
+    bits_range = range(args["hist_min"], args["hist_max"] + 1)
+    codecs = []
+
+    def add(name, enc, dec, bits):
+        codecs.append({"name": f"{name} {bits}", "enc": enc, "dec": dec})
+
+    for bits in bits_range:
+        if args["raw"]:
+            for n in (16, 32, 64):
+                add(
+                    f"rANS32x{n} 16w",
+                    (lambda b, n=n: lambda d: reference.raw_encode_16w(d, make_hist(d, b), n))(bits),
+                    (lambda b, n=n: lambda c: reference.raw_decode_16w(c, b, n))(bits),
+                    bits,
+                )
+        if args["blk32"]:
+            for wb in (16, 8):
+                add(
+                    f"rANS32x32 32blk {wb}w",
+                    (lambda b, wb=wb: lambda d: blk32.blk32_encode(d, make_hist(d, b), wb))(bits),
+                    (lambda b, wb=wb: lambda c: blk32.blk32_decode(c, b, wb))(bits),
+                    bits,
+                )
+        if args["block"]:
+            for n in (32, 64):
+                add(
+                    f"block rANS32x{n} 16w",
+                    (lambda b, n=n: lambda d: block.block_encode(d, b, n))(bits),
+                    (lambda b, n=n: lambda c: block.block_decode(c, b, n))(bits),
+                    bits,
+                )
+        if args["mt"]:
+            for n in (32, 64):
+                add(
+                    f"mt rANS32x{n} 16w",
+                    (lambda b, n=n: lambda d: mt.mt_encode(d, b, n))(bits),
+                    (lambda b, n=n: lambda c: mt.mt_decode(c, b, n))(bits),
+                    bits,
+                )
+        if args["tpx"] and bits <= 12:
+            if args["backend"] == "numpy":
+                dec = (lambda b: lambda c: tpx_decode(c))(bits)
+            else:
+                from .kernels.tpx_decode import tpx_decode_tpu
+
+                dec = (lambda b: lambda c: tpx_decode_tpu(c))(bits)
+            add(
+                "tpx rANS32x128x1024",
+                (lambda b: lambda d: tpx_encode(d, b))(bits),
+                dec,
+                bits,
+            )
+    return codecs
+
+
+def parse_args(argv: list[str]) -> dict:
+    args = {
+        "file": None,
+        "test": False,
+        "runs": 3,
+        "hist_min": 10,
+        "hist_max": 15,
+        "raw": True,
+        "blk32": False,
+        "mt": False,
+        "block": True,
+        "tpx": True,
+        "backend": "auto",
+    }
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--test":
+            args.update(test=True, runs=1, raw=True, blk32=True, mt=True, block=True, tpx=True)
+        elif a == "--all":
+            args.update(raw=True, blk32=True, mt=True, block=True, tpx=True)
+        elif a == "--runs":
+            i += 1
+            args["runs"] = int(argv[i])
+        elif a == "--hist-min":
+            i += 1
+            args["hist_min"] = int(argv[i])
+        elif a == "--hist-max":
+            i += 1
+            args["hist_max"] = int(argv[i])
+        elif a.startswith("--include-"):
+            args[a[10:].replace("-", "")] = True
+        elif a.startswith("--exclude-"):
+            args[a[10:].replace("-", "")] = False
+        elif a == "--max-simd":
+            i += 1
+            if argv[i] == "none":
+                args["backend"] = "numpy"
+        elif a == "--backend":
+            i += 1
+            args["backend"] = argv[i]
+        elif not a.startswith("-"):
+            args["file"] = a
+        i += 1
+    return args
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    if not args["file"]:
+        print(__doc__)
+        return 2
+
+    data = np.fromfile(args["file"], dtype=np.uint8)
+    print(f"file: {args['file']} ({data.size} bytes)")
+    print(f"{'codec':<28} {'ratio':>8} {'enc MiB/s':>10} {'dec MiB/s':>10}  status")
+
+    failed = 0
+    for codec in _build_codecs(args):
+        try:
+            t0 = time.perf_counter()
+            blob = codec["enc"](data)
+            enc_dt = time.perf_counter() - t0
+            dts = []
+            out = None
+            for _ in range(args["runs"]):
+                t0 = time.perf_counter()
+                out = codec["dec"](blob)
+                dts.append(time.perf_counter() - t0)
+            ok = out == data.tobytes()
+            if not ok:
+                failed += 1
+            mib = data.size / (1 << 20)
+            print(
+                f"{codec['name']:<28} {len(blob)/max(data.size,1)*100:7.2f}% "
+                f"{mib/enc_dt:>10.2f} {mib/min(dts):>10.2f}  {'OK' if ok else 'MISMATCH'}"
+            )
+        except Exception as e:  # mirror reference: any failure is a test failure
+            failed += 1
+            print(f"{codec['name']:<28} ERROR: {type(e).__name__}: {e}")
+
+    if args["test"]:
+        print(f"--test: {'ALL OK' if failed == 0 else f'{failed} FAILURES'}")
+        return 1 if failed else 0
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

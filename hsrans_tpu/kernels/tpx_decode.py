@@ -1,0 +1,243 @@
+"""Pallas TPU decode kernel for the tpx tile-parallel format.
+
+Grid = (tiles, steps/4): each grid step advances 1024 rows x 128 lanes =
+131,072 interleaved rANS states by four symbols and writes one packed
+[rows, 128] i32 output block (4 bytes/lane).  All lookups use the two
+primitives Mosaic lowers fast on v5e (docs/KERNEL_NOTES.md):
+
+  * per-row 128-lane shuffles (`tpu.dynamic_gather` dim-1) for the bucketed
+    rank tables (c0/bm), the rank->(sym|freq<<8)/cumul tables (2 chunks),
+    and the stream-window fetch (chunk selects + one shuffle);
+  * an MXU matmul against a strict upper-triangular ones matrix for the
+    per-row exclusive prefix sum of the renorm consume mask (bf16 exact
+    for sums <= 128; jnp.cumsum does not lower in Pallas TPU).
+
+The VPU is latency-bound on this serial dependency chain, so the row count
+(independent chains packed into each vector op) is what buys throughput —
+1024 rows runs the chain at the same wall clock as 128 (KERNEL_NOTES).
+
+States and per-row read positions persist in VMEM scratch across grid steps
+(tiles chain within a megablock — the reference block codec's invariant);
+the per-tile stream block is DMA'd from HBM into scratch manually once per
+tile.  Byte unpack/transpose of the packed output runs in XLA outside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.histogram import complete_hist
+from ..ops.tpx import make_rank_tables, tpx_parse
+
+L = 128
+
+
+def _tile_kernel(
+    vlen_ref,  # SMEM (1,1) i32: valid bytes in this megablock
+    c0_ref,  # VMEM [1, 8, 128] i32 (row 0 = bucket coarse ranks)
+    bm_ref,  # VMEM [1, 8, 128] i32 (row 0 = boundary bitmasks)
+    t1a_ref,  # VMEM [1, 8, 128] i32 (rank 0..127: sym | freq<<8)
+    t1b_ref,  # VMEM [1, 8, 128] i32 (rank 128..255)
+    t2a_ref,  # VMEM [1, 8, 128] i32 (cumul, rank 0..127)
+    t2b_ref,  # VMEM [1, 8, 128] i32
+    stream_hbm,  # ANY  [T, R, W] i32
+    init_ref,  # VMEM [R, L] u32
+    out_ref,  # VMEM [1, R, 128] i32 (4 packed bytes per lane)
+    states_scr,  # VMEM [R, L] u32
+    rw_scr,  # VMEM [R, L] i32 (per-row word position, broadcast on lanes)
+    stream_scr,  # VMEM [R, W] i32
+    dma_sem,
+    *,
+    rows: int,
+    steps: int,
+    n_tiles: int,
+    bits: int,
+):
+    t = pl.program_id(0)
+    s4 = pl.program_id(1)
+
+    @pl.when((t == 0) & (s4 == 0))
+    def _():
+        states_scr[:] = init_ref[:]
+
+    @pl.when(s4 == 0)
+    def _():
+        pltpu.make_async_copy(stream_hbm.at[t], stream_scr, dma_sem).start()
+        pltpu.make_async_copy(stream_hbm.at[t], stream_scr, dma_sem).wait()
+        rw_scr[:] = jnp.zeros((rows, L), jnp.int32)
+
+    mask_slot = jnp.uint32((1 << bits) - 1)
+    consume_point = jnp.uint32(1 << 15)
+
+    def bcast(ref):
+        return jnp.broadcast_to(ref[0, 0:1, :], (rows, 128)).astype(jnp.int32)
+
+    c0 = bcast(c0_ref)
+    bm = pltpu.bitcast(bcast(bm_ref), jnp.uint32)
+    t1a, t1b = bcast(t1a_ref), bcast(t1b_ref)
+    t2a, t2b = bcast(t2a_ref), bcast(t2b_ref)
+    w_slots = stream_scr.shape[-1]
+
+    # strict upper-triangular ones (consume @ tri = exclusive lane prefix)
+    tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tri = (tri_r < tri_c).astype(jnp.bfloat16)
+
+    # wire byte position of step-in-group 0 for each (row, lane):
+    # pos = (((t*rows + row)*(steps/4) + s4)*L + lane)*4 + i
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 0)
+    base_pos = (((t * rows + row) * (steps // 4) + s4) * L + lane) * 4
+    vlen = vlen_ref[0, 0]
+
+    def gather256(lo, hi, rank):
+        g_lo = jnp.take_along_axis(lo, jnp.minimum(rank, 127), axis=1)
+        g_hi = jnp.take_along_axis(hi, jnp.maximum(rank - 128, 0), axis=1)
+        return jnp.where(rank < 128, g_lo, g_hi)
+
+    def step_fn(i, carry):
+        states, rw, packed = carry
+        slot = states & mask_slot
+        slot_i = pltpu.bitcast(slot, jnp.int32)
+        k = slot_i >> 5
+        c0v = jnp.take_along_axis(c0, k, axis=1)
+        bmv = jnp.take_along_axis(bm, pltpu.bitcast(k, jnp.uint32), axis=1)
+        # bits 1..(slot&31) of the boundary bitmask; 2<<31 wraps to 0 making
+        # the mask 0xFFFFFFFE, which is exactly bits 1..31
+        m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
+        rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
+        v1 = gather256(t1a, t1b, rank)
+        sym = v1 & 0xFF
+        freq = pltpu.bitcast(v1 >> 8, jnp.uint32)
+        cum = pltpu.bitcast(gather256(t2a, t2b, rank), jnp.uint32)
+
+        valid = (base_pos + i) < vlen
+        new_states = (states >> jnp.uint32(bits)) * freq + slot - cum
+        new_states = jnp.where(valid, new_states, states)
+        consume = (new_states < consume_point) & valid
+
+        cb = consume.astype(jnp.bfloat16)
+        prefix = jnp.dot(cb, tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+        total = prefix[:, L - 1 :] + consume[:, L - 1 :].astype(jnp.int32)
+
+        widx = rw + prefix
+        slotidx = widx >> 1
+        within = slotidx & 127
+        chunk = slotidx >> 7
+        w32 = jnp.zeros((rows, L), jnp.int32)
+        for c in range(w_slots // 128):
+            cand = jnp.take_along_axis(stream_scr[:, c * 128 : (c + 1) * 128], within, axis=1)
+            w32 = jnp.where(chunk == c, cand, w32)
+        word = (pltpu.bitcast(w32, jnp.uint32) >> pltpu.bitcast((widx & 1) << 4, jnp.uint32)) & jnp.uint32(0xFFFF)
+        states = jnp.where(consume, (new_states << jnp.uint32(16)) | word, new_states)
+        rw = rw + total
+        packed = packed | (sym << (i * 8))
+        return states, rw, packed
+
+    carry = (states_scr[:], rw_scr[:], jnp.zeros((rows, L), jnp.int32))
+    states, rw, packed = jax.lax.fori_loop(0, 4, step_fn, carry, unroll=True)
+    states_scr[:] = states
+    rw_scr[:] = rw
+    out_ref[0] = packed
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows", "n_tiles", "w_slots", "steps", "bits", "interpret"),
+)
+def _decode_mega(vlen, c0, bm, t1a, t1b, t2a, t2b, stream, init_states, *, rows, n_tiles, w_slots, steps, bits, interpret=False):
+    kernel = functools.partial(
+        _tile_kernel, rows=rows, steps=steps, n_tiles=n_tiles, bits=bits
+    )
+    tab_spec = pl.BlockSpec((1, 8, 128), lambda t, s4: (t, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, steps // 4),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, s4: (0, 0), memory_space=pltpu.SMEM),
+            tab_spec,
+            tab_spec,
+            tab_spec,
+            tab_spec,
+            tab_spec,
+            tab_spec,
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((rows, L), lambda t, s4: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, 128), lambda t, s4: (t, 0, s4), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows, (steps // 4) * 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, L), jnp.uint32),
+            pltpu.VMEM((rows, L), jnp.int32),
+            pltpu.VMEM((rows, w_slots), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(vlen, c0, bm, t1a, t1b, t2a, t2b, stream, init_states)
+    # The packed [T, R, S/4*128] i32 output IS the megablock's bytes in wire
+    # order (little-endian) — no transpose needed by construction.
+    return out
+
+
+def tpx_decode_tpu(blob: bytes | np.ndarray, interpret: bool = False) -> bytes | None:
+    """Decode a tpx blob with the Pallas kernel (interpret=True for CPU CI)."""
+    parsed = tpx_parse(blob)
+    if parsed is None:
+        return None
+    p, length, megas = parsed
+    if p.lanes != L or p.steps % 4:
+        return None
+    n_buckets = (1 << p.bits) // 32
+    if n_buckets > 128:
+        return None  # kernel path currently supports B <= 12
+    out = np.zeros(length, dtype=np.uint8)
+
+    for mega in megas:
+        n_tiles = mega.n_tiles
+        c0 = np.zeros((n_tiles, 8, 128), np.int32)
+        bm = np.zeros((n_tiles, 8, 128), np.int32)
+        t1 = np.zeros((n_tiles, 256), np.int32)
+        t2 = np.zeros((n_tiles, 256), np.int32)
+        for t in range(n_tiles):
+            hist = complete_hist(mega.freqs[t], p.bits)
+            if hist is None:
+                return None
+            rt = make_rank_tables(hist)
+            c0[t, 0, :n_buckets] = rt["c0"]
+            bm[t, 0, :n_buckets] = rt["bm"]
+            t1[t] = rt["t1"]
+            t2[t] = rt["t2"]
+
+        def pad8(a):
+            o = np.zeros((a.shape[0], 8, 128), np.int32)
+            o[:, 0, :] = a
+            return jnp.asarray(o)
+
+        vlen = np.array([[min(length - mega.base, p.rows * n_tiles * p.steps * L)]], np.int32)
+        packed = _decode_mega(
+            jnp.asarray(vlen),
+            jnp.asarray(c0),
+            jnp.asarray(bm),
+            pad8(t1[:, :128]),
+            pad8(t1[:, 128:]),
+            pad8(t2[:, :128]),
+            pad8(t2[:, 128:]),
+            jnp.asarray(mega.stream.view(np.int32)),
+            jnp.asarray(mega.states),
+            rows=p.rows,
+            n_tiles=n_tiles,
+            w_slots=mega.w_slots,
+            steps=p.steps,
+            bits=p.bits,
+            interpret=interpret,
+        )
+        mega_bytes = np.asarray(packed).reshape(-1).view(np.uint8)
+        n_valid = min(length - mega.base, mega_bytes.size)
+        out[mega.base : mega.base + n_valid] = mega_bytes[:n_valid]
+    return out.tobytes()

@@ -1,0 +1,334 @@
+"""tpx — the TPU-native tile-parallel rANS format (flagship speed tier).
+
+Same rANS math and constants as the reference 16w codecs (32-bit states,
+16-bit renorm words, DecodeConsumePoint 2^15, per-tile adaptive histograms
+normalized to 2^B exactly like hist.cpp), but a container designed for the
+TPU vector unit instead of AVX registers (docs/KERNEL_NOTES.md):
+
+  * megablock = R(=128) independent row-chains x T tiles; each row is a
+    128-lane interleaved rANS stream (identity lane order, no idx2idx);
+  * all rows of a tile share one histogram (tables live in VMEM as
+    128-entry shuffles); rANS states chain across tiles within a mega
+    (only table switches, like the reference block codec) so per-row state
+    snapshots cost one 64 KiB header per 16 MiB megablock;
+  * each row's renorm words for a tile are stored left-aligned in a
+    [R, W] u32-slot matrix (two u16 words per slot), W shared per
+    megablock — the padding is the price of a rectangular one-DMA layout
+    and bounded-window gathers (few % on text);
+  * decode consumption order within a step is lane-ascending; encode emits
+    the exact reverse, so the forward stream is (tile, step, lane)
+    ascending per row.
+
+Output byte mapping (chosen so the Pallas kernel's packed u32 output IS the
+wire byte order — no transpose anywhere):
+
+  pos = mega_base + (((t*R + r)*(S/4) + s//4)*L + l)*4 + (s % 4)
+
+i.e. lane l's four consecutive step-group symbols are the four bytes of one
+little-endian u32 at (tile, row, step-group, lane).
+
+Wire layout (little-endian):
+  "HSRTPX01" | u64 rawLength | u64 totalLength |
+  u32 bits | u32 R | u32 L | u32 S | u32 T |
+  per megablock:
+    u32 n_tiles | u32 W | R*L u32 states |
+    n_tiles * (256*u16 freq | R*u16 word counts) |
+    n_tiles * R * W * u32 stream slots
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..models.histogram import Hist, complete_hist, normalize_hist, observe_hist
+from ..models.tables import make_cumul_inv
+from ..rans import DECODE_CONSUME_POINT_16, encode_emit_point_16
+
+_U32 = np.uint32
+MAGIC = b"HSRTPX01"
+
+# Defaults tuned on v5e (docs/KERNEL_NOTES.md): the VPU is latency-bound on
+# serial op chains, so throughput scales with rows until ~1024; tiles per
+# mega stay small so the per-mega padded stream W tracks per-tile maxima.
+R = 1024  # rows (independent sub-streams) per tile
+L = 128  # interleaved rANS lanes per row
+S = 32  # lane-group steps per tile (tile covers S*L bytes per row)
+T = 4  # tiles per megablock (mega covers R*T*S*L = 16 MiB)
+
+
+@dataclass
+class TpxParams:
+    bits: int = 12
+    rows: int = R
+    lanes: int = L
+    steps: int = S
+    tiles: int = T
+
+    @property
+    def row_span(self) -> int:
+        return self.tiles * self.steps * self.lanes
+
+    @property
+    def mega_bytes(self) -> int:
+        return self.rows * self.row_span
+
+
+def make_rank_tables(hist: Hist) -> dict[str, np.ndarray]:
+    """Bucketed-rank decode tables (the Pallas lookup path).
+
+    cumulInv is monotone over the *present* (freq>0) symbols, so with
+    32-slot buckets:  rank = C0[slot>>5] + popcount(bm[slot>>5] &
+    ((2 << (slot&31)) - 2))  indexes the present-symbol list exactly
+    (rank, not symbol id — absent symbols make cumulInv jump by >1).
+    Then t1[rank] = sym | freq<<8 and t2[rank] = cumul give the full
+    decode tuple.  For B<=12 c0/bm are <=128 entries (one shuffle each);
+    t1/t2 are <=256 (two shuffles + select).
+    """
+    inv = make_cumul_inv(hist)
+    total = 1 << hist.total_symbol_count_bits
+    n_buckets = total // 32
+    present = np.nonzero(hist.symbol_count)[0]
+    rank_of_sym = np.zeros(256, dtype=np.int64)
+    rank_of_sym[present] = np.arange(present.size)
+    inv_rank = rank_of_sym[inv]
+    c0 = inv_rank[::32].astype(np.int32)
+    first = np.zeros(total, dtype=bool)
+    first[0] = True
+    first[1:] = inv[1:] != inv[:-1]
+    bits = first.reshape(n_buckets, 32)
+    bm = (bits.astype(np.uint64) << np.arange(32, dtype=np.uint64)[None, :]).sum(axis=1).astype(np.uint32)
+    t1 = np.zeros(256, dtype=np.uint32)
+    t2 = np.zeros(256, dtype=np.uint32)
+    t1[: present.size] = present.astype(np.uint32) | (hist.symbol_count[present].astype(np.uint32) << np.uint32(8))
+    t2[: present.size] = hist.cumul[present].astype(np.uint32)
+    return {"c0": c0, "bm": bm.view(np.int32), "t1": t1.view(np.int32), "t2": t2.view(np.int32)}
+
+
+def _mega_layout(length: int, p: TpxParams) -> list[tuple[int, int, int]]:
+    """[(mega_base, n_tiles, valid_bytes)] covering the input."""
+    out = []
+    base = 0
+    while base < length or (length == 0 and not out):
+        rem = length - base
+        if rem >= p.mega_bytes:
+            out.append((base, p.tiles, p.mega_bytes))
+            base += p.mega_bytes
+        else:
+            per_row = p.steps * p.lanes
+            n_tiles = max(1, -(-rem // (p.rows * per_row)))
+            out.append((base, n_tiles, max(rem, 0)))
+            base = length
+    return out
+
+
+def tpx_encode(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = None) -> bytes:
+    p = p or TpxParams(bits=bits)
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    length = arr.size
+    emit_point = _U32(encode_emit_point_16(bits))
+
+    out = bytearray()
+    out += MAGIC
+    out += length.to_bytes(8, "little")
+    out += b"\0" * 8
+    for v in (bits, p.rows, p.lanes, p.steps, p.tiles):
+        out += int(v).to_bytes(4, "little")
+
+    s4c = p.steps // 4
+    for mega_base, n_tiles, valid_bytes in _mega_layout(length, p):
+        row_span = n_tiles * p.steps * p.lanes
+        flat = np.zeros(p.rows * row_span, dtype=np.uint8)
+        n_valid = min(valid_bytes, p.rows * row_span)
+        flat[:n_valid] = arr[mega_base : mega_base + n_valid]
+        # wire byte mapping [t, r, s4, l, b] -> symbol layout [r, t, s, l]
+        view = (
+            flat.reshape(n_tiles, p.rows, s4c, p.lanes, 4)
+            .transpose(1, 0, 2, 4, 3)
+            .reshape(p.rows, n_tiles, p.steps, p.lanes)
+        )
+        r_ = np.arange(p.rows)[:, None, None, None]
+        t_ = np.arange(n_tiles)[None, :, None, None]
+        s_ = np.arange(p.steps)[None, None, :, None]
+        l_ = np.arange(p.lanes)[None, None, None, :]
+        pos = (((t_ * p.rows + r_) * s4c + s_ // 4) * p.lanes + l_) * 4 + s_ % 4
+        valid = pos < n_valid
+
+        # per-tile histograms over valid bytes
+        hists = []
+        for t in range(n_tiles):
+            tb = view[:, t][valid[:, t]]
+            if tb.size == 0:
+                hists.append(normalize_hist(np.concatenate([[1], np.zeros(255, np.uint32)]).astype(np.uint32), 1, bits))
+            else:
+                hists.append(normalize_hist(observe_hist(tb), tb.size, bits))
+
+        states = np.full((p.rows, p.lanes), DECODE_CONSUME_POINT_16, dtype=_U32)
+        words = np.zeros((n_tiles, p.steps, p.rows, p.lanes), dtype=np.uint16)
+        emits = np.zeros((n_tiles, p.steps, p.rows, p.lanes), dtype=bool)
+
+        for t in range(n_tiles - 1, -1, -1):
+            freq_tab = hists[t].symbol_count.astype(_U32)
+            cumul_tab = hists[t].cumul.astype(_U32)
+            for s in range(p.steps - 1, -1, -1):
+                b = view[:, t, s]
+                v = valid[:, t, s]
+                freq = freq_tab[b]
+                emit = (states >= emit_point * np.maximum(freq, 1)) & v
+                words[t, s] = np.where(emit, (states & _U32(0xFFFF)).astype(np.uint16), 0)
+                emits[t, s] = emit
+                states = np.where(emit, states >> _U32(16), states)
+                new_states = ((states // np.maximum(freq, 1)) << _U32(bits)) + cumul_tab[b] + (states % np.maximum(freq, 1))
+                states = np.where(v, new_states, states)
+
+        # per-row per-tile forward streams = reversed emission order
+        counts = emits.transpose(0, 2, 1, 3).reshape(n_tiles, p.rows, -1).sum(axis=2)
+        max_words = int(counts.max()) if counts.size else 0
+        w_slots = max(128, -(-(-(-max_words // 2)) // 128) * 128)
+        stream = np.zeros((n_tiles, p.rows, w_slots), dtype=np.uint32)
+        for t in range(n_tiles):
+            wt = words[t].transpose(1, 0, 2).reshape(p.rows, -1)  # [rows, steps*lanes] fwd order
+            et = emits[t].transpose(1, 0, 2).reshape(p.rows, -1)
+            for r in range(p.rows):
+                rw = wt[r][et[r]].astype(np.uint32)
+                if rw.size & 1:
+                    rw = np.concatenate([rw, [np.uint32(0)]])
+                stream[t, r, : rw.size // 2] = rw[0::2] | (rw[1::2] << np.uint32(16))
+
+        out += int(n_tiles).to_bytes(4, "little")
+        out += int(w_slots).to_bytes(4, "little")
+        out += states.astype("<u4").tobytes()
+        for t in range(n_tiles):
+            out += hists[t].symbol_count.astype("<u2").tobytes()
+            out += counts[t].astype("<u2").tobytes()
+        out += stream.astype("<u4").tobytes()
+
+    total = len(out)
+    out[16:24] = total.to_bytes(8, "little")
+    return bytes(out)
+
+
+@dataclass
+class TpxMega:
+    base: int
+    n_tiles: int
+    w_slots: int
+    states: np.ndarray  # u32[R, L]
+    freqs: np.ndarray  # u16[n_tiles, 256]
+    counts: np.ndarray  # u16[n_tiles, R]
+    stream: np.ndarray  # u32[n_tiles, R, W]
+
+
+def tpx_parse(blob: bytes | np.ndarray) -> tuple[TpxParams, int, list[TpxMega]] | None:
+    buf = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, bytearray, memoryview)) else np.asarray(blob, dtype=np.uint8)
+    if buf.size < 44 or buf[:8].tobytes() != MAGIC:
+        return None
+    length = int.from_bytes(buf[8:16].tobytes(), "little")
+    bits, rows, lanes, steps, tiles = (int.from_bytes(buf[24 + 4 * i : 28 + 4 * i].tobytes(), "little") for i in range(5))
+    p = TpxParams(bits=bits, rows=rows, lanes=lanes, steps=steps, tiles=tiles)
+    megas = []
+    off = 44
+    base = 0
+    while base < length or (length == 0 and not megas):
+        n_tiles = int.from_bytes(buf[off : off + 4].tobytes(), "little")
+        w_slots = int.from_bytes(buf[off + 4 : off + 8].tobytes(), "little")
+        off += 8
+        states = buf[off : off + 4 * rows * lanes].view("<u4").reshape(rows, lanes).astype(_U32)
+        off += 4 * rows * lanes
+        freqs = np.zeros((n_tiles, 256), dtype=np.uint16)
+        counts = np.zeros((n_tiles, rows), dtype=np.uint16)
+        for t in range(n_tiles):
+            freqs[t] = buf[off : off + 512].view("<u2")
+            off += 512
+            counts[t] = buf[off : off + 2 * rows].view("<u2")
+            off += 2 * rows
+        n_stream = n_tiles * rows * w_slots
+        stream = buf[off : off + 4 * n_stream].view("<u4").reshape(n_tiles, rows, w_slots).astype(np.uint32)
+        off += 4 * n_stream
+        megas.append(TpxMega(base, n_tiles, w_slots, states, freqs, counts, stream))
+        base += rows * n_tiles * steps * lanes
+    return p, length, megas
+
+
+def tpx_decode(blob: bytes | np.ndarray, use_rank_tables: bool = False) -> bytes | None:
+    """Numpy reference decode; `use_rank_tables` exercises the C0/bitmask
+    lookup path (what the Pallas kernel does) instead of direct cumulInv."""
+    parsed = tpx_parse(blob)
+    if parsed is None:
+        return None
+    p, length, megas = parsed
+    bits = p.bits
+    mask_slot = _U32((1 << bits) - 1)
+    out = np.zeros(length + p.mega_bytes, dtype=np.uint8)
+
+    for mega in megas:
+        n_tiles = mega.n_tiles
+        row_span = n_tiles * p.steps * p.lanes
+        states = mega.states.copy()
+        n_valid = min(length - mega.base, p.rows * row_span)
+        syms_all = np.zeros((n_tiles, p.steps, p.rows, p.lanes), dtype=np.uint8)
+        lanes_idx = np.arange(p.lanes)
+
+        for t in range(n_tiles):
+            hist = complete_hist(mega.freqs[t], bits)
+            if hist is None:
+                return None
+            freq_of = hist.symbol_count.astype(_U32)
+            cumul_of = hist.cumul.astype(_U32)
+            if use_rank_tables:
+                rt = make_rank_tables(hist)
+                c0, bm = rt["c0"], rt["bm"].view(np.uint32)
+                t1, t2 = rt["t1"].view(np.uint32), rt["t2"].view(np.uint32)
+            else:
+                inv = make_cumul_inv(hist)
+            stream = mega.stream[t]
+            r_word = np.zeros((p.rows, 1), dtype=np.int64)
+            s4c = p.steps // 4
+            base_pos = (
+                (t * p.rows + np.arange(p.rows)[:, None]) * s4c * p.lanes
+                + lanes_idx[None, :]
+            ) * 4
+            for s in range(p.steps):
+                slot = states & mask_slot
+                if use_rank_tables:
+                    k = (slot >> _U32(5)).astype(np.int64)
+                    tbit = slot & _U32(31)
+                    m = (_U32(2) << tbit) - _U32(2)
+                    rank = (c0[k].astype(_U32) + _popcount(bm[k] & m)).astype(np.int64)
+                    v1 = t1[rank]
+                    sym = (v1 & _U32(0xFF)).astype(np.int64)
+                    freq = v1 >> _U32(8)
+                    cumul = t2[rank]
+                else:
+                    sym = inv[slot].astype(np.int64)
+                    freq = freq_of[sym]
+                    cumul = cumul_of[sym]
+                v = (base_pos + ((s // 4) * p.lanes * 4 + s % 4)) < n_valid
+                syms_all[t, s] = np.where(v, sym, 0)
+                new_states = (states >> _U32(bits)) * freq + slot - cumul
+                states_t = np.where(v, new_states, states)
+                consume = (states_t < _U32(DECODE_CONSUME_POINT_16)) & v
+                offs = np.cumsum(consume, axis=1) - consume
+                widx = r_word + offs
+                slot_val = np.take_along_axis(stream, np.minimum((widx >> 1).astype(np.int64), stream.shape[1] - 1), axis=1)
+                word = (slot_val >> ((widx & 1) * 16).astype(np.uint32)) & _U32(0xFFFF)
+                states = np.where(consume, (states_t << _U32(16)) | word, states_t)
+                r_word = r_word + consume.sum(axis=1, keepdims=True)
+
+        # [t, s, r, l] -> wire order [t, r, s4, l, b]
+        mega_out = (
+            syms_all.reshape(n_tiles, p.steps // 4, 4, p.rows, p.lanes)
+            .transpose(0, 3, 1, 4, 2)
+            .reshape(-1)
+        )
+        out[mega.base : mega.base + p.rows * row_span] = mega_out
+    return out[:length].tobytes()
+
+
+def _popcount(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint32)
+    x = x - ((x >> np.uint32(1)) & np.uint32(0x55555555))
+    x = (x & np.uint32(0x33333333)) + ((x >> np.uint32(2)) & np.uint32(0x33333333))
+    x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    return (x * np.uint32(0x01010101)) >> np.uint32(24)

@@ -1,0 +1,70 @@
+"""tpx tile-parallel format: numpy roundtrip + Pallas kernel (interpret)."""
+
+import numpy as np
+import pytest
+
+from hsrans_tpu.models.histogram import make_hist
+from hsrans_tpu.ops.tpx import TpxParams, make_rank_tables, tpx_decode, tpx_encode
+from hsrans_tpu.models.tables import make_cumul_inv
+from hsrans_tpu.ops.tpx import _popcount
+
+
+def _cases(rng):
+    from tools.gen_inputs import text_like
+
+    return [
+        ("text", text_like(rng, 1_500_000)),
+        ("rle+text", np.concatenate([np.full(500_000, 3, np.uint8), text_like(rng, 400_000)])),
+        ("geom", np.minimum(rng.geometric(0.25, 800_000) - 1, 255).astype(np.uint8)),
+        ("tiny", text_like(rng, 777)),
+        ("empty", np.zeros(0, np.uint8)),
+    ]
+
+
+@pytest.mark.parametrize("bits", (10, 12))
+def test_tpx_numpy_roundtrip(bits):
+    rng = np.random.default_rng(4)
+    for name, data in _cases(rng):
+        blob = tpx_encode(data, bits)
+        assert tpx_decode(blob) == data.tobytes(), name
+        assert tpx_decode(blob, use_rank_tables=True) == data.tobytes(), name
+
+
+def test_rank_tables_exact():
+    """Bucketed-rank lookup reproduces cumulInv for adversarial hists."""
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        n_sym = int(rng.integers(1, 257))
+        counts = np.zeros(256, np.uint32)
+        syms = rng.choice(256, size=n_sym, replace=False)
+        counts[syms] = rng.integers(1, 1000, n_sym)
+        hist = make_hist(np.repeat(np.arange(256, dtype=np.uint8), counts), 12)
+        inv = make_cumul_inv(hist)
+        rt = make_rank_tables(hist)
+        c0, bm = rt["c0"], rt["bm"].view(np.uint32)
+        t1, t2 = rt["t1"].view(np.uint32), rt["t2"].view(np.uint32)
+        slots = np.arange(4096, dtype=np.uint32)
+        k = (slots >> 5).astype(np.int64)
+        m = (np.uint32(2) << (slots & np.uint32(31))) - np.uint32(2)
+        rank = (c0[k].astype(np.uint32) + _popcount(bm[k] & m)).astype(np.int64)
+        sym = t1[rank] & np.uint32(0xFF)
+        assert np.array_equal(sym, inv.astype(np.uint32)), trial
+        assert np.array_equal(t1[rank] >> 8, hist.symbol_count[inv].astype(np.uint32))
+        assert np.array_equal(t2[rank], hist.cumul[inv].astype(np.uint32))
+
+
+def test_tpx_kernel_interpret():
+    """Pallas kernel (interpret mode, CPU) matches the numpy decoder."""
+    from tools.gen_inputs import text_like
+
+    from hsrans_tpu.kernels.tpx_decode import tpx_decode_tpu
+
+    rng = np.random.default_rng(6)
+    data = text_like(rng, 900_000)
+    blob = tpx_encode(data, 12)
+    assert tpx_decode_tpu(blob, interpret=True) == data.tobytes()
+
+
+def test_tpx_header_rejects_garbage():
+    assert tpx_decode(b"NOTTPX00" + b"\0" * 64) is None
+    assert tpx_decode(b"") is None
