@@ -120,6 +120,8 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    _bench_encode(data, p)
+
     print(
         json.dumps(
             {
@@ -129,6 +131,71 @@ def main() -> None:
                 "vs_baseline": round(mib_s / BASELINE_MIB_S, 4),
             }
         )
+    )
+
+
+def _bench_encode(data: "np.ndarray", p) -> None:
+    """Device encode throughput (phase A + concat chained, slope of N).
+
+    Reference baseline: scalar encoders only, 347.90 MiB/s (BASELINE.md).
+    Reported to stderr; the JSON headline metric stays the decode rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hsrans_tpu.kernels import tpx_encode as KE
+    from hsrans_tpu.ops.tpx import make_tile_hist
+
+    mega = data[: p.mega_bytes]
+    s4c, rows, n_tiles = p.steps // 4, p.rows, p.tiles
+    packed = jnp.asarray(mega.view("<i4").reshape(n_tiles, rows, s4c * p.lanes))
+    tile_bytes = rows * p.steps * p.lanes
+    hists = [make_tile_hist(mega[t * tile_bytes : (t + 1) * tile_bytes], p.bits) for t in range(n_tiles)]
+
+    def pack(key):
+        lo = np.zeros((n_tiles, 8, 128), np.int32)
+        hi = np.zeros((n_tiles, 8, 128), np.int32)
+        for t in range(n_tiles):
+            tab = KE.make_enc_tables(hists[t])[key]
+            lo[t, 0, :] = tab[:128]
+            hi[t, 0, :] = tab[128:]
+        return jnp.asarray(lo), jnp.asarray(hi)
+
+    tabs = [x for key in ("fc", "m", "l") for x in pack(key)]
+    vlen = jnp.asarray(np.array([[p.mega_bytes]], np.int32))
+    wq = jnp.asarray(np.array([[1024 // 128]], np.int32))  # generous typical W
+    kw_a = dict(rows=rows, s4c=s4c, n_tiles=n_tiles, bits=p.bits)
+    kw_b = dict(rows=rows, rc=128, steps=p.steps, wcap=(p.steps * p.lanes // 2), n_tiles=n_tiles)
+
+    def one_pass(carry):
+        win, cntp, states = KE._encode_mega(vlen, *tabs, packed ^ carry, **kw_a)
+        cnt = KE._unpack_counts(cntp, s4c=s4c)
+        stream = KE._concat_mega(wq, win, cnt, **kw_b)
+        delta = stream[0, :, : s4c * 128] & 1
+        return carry ^ jnp.broadcast_to(delta[None], packed.shape)
+
+    def many(n):
+        @jax.jit
+        def fn(p0):
+            carry = jax.lax.fori_loop(0, n, lambda i, c: one_pass(c), jnp.zeros_like(p0))
+            # small readback: every pass still runs fully (each consumes the
+            # whole carry), only the final transfer shrinks
+            return carry[:, 0, :128]
+
+        return fn
+
+    f_lo, f_hi = many(1), many(9)
+    np.asarray(f_lo(packed))
+    np.asarray(f_hi(packed))
+    t_lo = min(_timed(f_lo, [packed]) for _ in range(3))
+    t_hi = min(_timed(f_hi, [packed]) for _ in range(3))
+    per = (t_hi - t_lo) / 8
+    enc_mib_s = p.mega_bytes / (1 << 20) / per
+    print(
+        f"device encode (slope of 1->9 passes): {per*1e3:.2f} ms per "
+        f"{p.mega_bytes >> 20} MiB -> {enc_mib_s:.0f} MiB/s "
+        f"(reference scalar encode baseline: 347.90 MiB/s -> {enc_mib_s/347.90:.1f}x)",
+        file=sys.stderr,
     )
 
 

@@ -74,17 +74,15 @@ def _build_codecs(args) -> list[dict]:
                 )
         if args["tpx"] and bits <= 12:
             if args["backend"] == "numpy":
+                enc = (lambda b: lambda d: tpx_encode(d, b))(bits)
                 dec = (lambda b: lambda c: tpx_decode(c))(bits)
             else:
                 from .kernels.tpx_decode import tpx_decode_tpu
+                from .kernels.tpx_encode import tpx_encode_tpu
 
+                enc = (lambda b: lambda d: tpx_encode_tpu(d, b))(bits)
                 dec = (lambda b: lambda c: tpx_decode_tpu(c))(bits)
-            add(
-                "tpx rANS32x128x1024",
-                (lambda b: lambda d: tpx_encode(d, b))(bits),
-                dec,
-                bits,
-            )
+            add("tpx rANS32x128x1024", enc, dec, bits)
     return codecs
 
 

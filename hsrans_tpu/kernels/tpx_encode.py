@@ -1,0 +1,355 @@
+"""Pallas TPU *encode* kernels for the tpx tile-parallel format.
+
+The reference's encoders are scalar-only (README.md:26; e.g. the div/mod hot
+loop at /root/reference/src/rANS32x32_16w.cpp:95-128, ~348 MiB/s on a 7950X).
+Here the encode runs on the TPU VPU/MXU in two Pallas phases, bit-identical
+to the numpy wire authority (`hsrans_tpu.ops.tpx.tpx_encode`):
+
+Phase A (`_encode_kernel`) — the rANS state machine, run in reverse over a
+grid of (tile, step-group), 1024 rows x 128 lanes per vector op:
+
+  * symbol-indexed encode tables (freq|cumul<<16, magic, shift) as 256-entry
+    per-row shuffles, exactly like the decode kernel's rank tables;
+  * `state // freq` via Granlund-Montgomery magic-number multiplication —
+    u32 mulhi built from four 16-bit limb products (the VPU has no integer
+    divide, and the reference's unused `hist_enc_t` slot, hist.cpp:224-228,
+    anticipates exactly this precomputed-reciprocal design);
+  * per-step renorm-emission compaction: inclusive lane prefix of the emit
+    mask via an MXU triangular matmul, then a branchless 7-step binary
+    search (lower_bound over the monotone prefix) to map output slot k to
+    the k-th emitting lane — replacing the reference AVX decoders'
+    movemask->LUT-shuffle idiom (rANS32x32_16w.cpp:1237-1266) with its
+    gather-friendly dual.
+
+Phase B (`_concat_kernel`) — per-row stream concatenation: the per-(tile,
+step) compacted word windows are gathered into each row's final contiguous
+word stream (word pairs packed into u32 slots).  Placement is resolved by an
+exclusive prefix over per-step word counts (f32 MXU matmul, exact to 2^24)
+and per-step windowed gathers; this is the encode-side dual of the decode
+kernel's chunked stream fetch.
+
+Divisions of labor with the host: per-tile histograms + normalization and
+the wire mux stay on the host (numpy / native C++), as in the reference
+(hist.cpp); everything per-byte runs on the TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.histogram import Hist
+from ..ops.tpx import TpxParams, _mega_layout, _write_mega, make_tile_hist, tpx_header
+from ..rans import DECODE_CONSUME_POINT_16
+
+L = 128
+
+
+def div_magic(freq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-symbol (magic, shift) with floor(n/d) == (umul64(m,n)>>31)>>l for
+    all n < 2^31 (Granlund-Montgomery round-up magic, p = 31 + ceil(log2 d);
+    the n<2^31 bound is the rANS32 state invariant, states < EncodeEmitPoint
+    * freq <= 2^31).  freq == 0 entries get the d=1 identity."""
+    d = np.maximum(freq.astype(np.int64), 1)
+    l = np.zeros(256, dtype=np.int64)
+    for k in range(16):
+        l = np.where(d > (1 << k), k + 1, l)
+    m = -(-(np.int64(1) << (31 + l)) // d)  # ceil(2^(31+l) / d)
+    assert int(m.max()) < 1 << 32 and int(m.min()) >= 1 << 31
+    return m.astype(np.uint32), l.astype(np.uint32)
+
+
+def make_enc_tables(hist: Hist) -> dict[str, np.ndarray]:
+    """Symbol-indexed encode tables: fc = freq | cumul<<16, magic m, shift l."""
+    freq = hist.symbol_count.astype(np.uint32)
+    fc = freq | (hist.cumul.astype(np.uint32) << np.uint32(16))
+    m, l = div_magic(hist.symbol_count)
+    return {"fc": fc.view(np.int32), "m": m.view(np.int32), "l": l.view(np.int32)}
+
+
+def _encode_kernel(
+    vlen_ref,  # SMEM (1,1) i32: valid bytes in this megablock
+    fc_lo_ref,  # VMEM [1, 8, 128] i32 (row 0: freq | cumul<<16, syms 0..127)
+    fc_hi_ref,  # VMEM [1, 8, 128] i32 (syms 128..255)
+    m_lo_ref,  # VMEM [1, 8, 128] i32 (division magic)
+    m_hi_ref,
+    l_lo_ref,  # VMEM [1, 8, 128] i32 (division shift)
+    l_hi_ref,
+    packed_ref,  # VMEM [1, R, 128] i32: input bytes, 4 steps per u32
+    win_ref,  # out VMEM [1, 4, R, 128] i32: per-step compacted words
+    cntp_ref,  # out VMEM [1, 1, R, 128] i32: 4 step word-counts, 8 bits each
+    states_ref,  # out VMEM [R, L] u32: final (= decode-start) states
+    states_scr,  # VMEM [R, L] u32
+    *,
+    rows: int,
+    s4c: int,
+    n_tiles: int,
+    bits: int,
+):
+    ti = pl.program_id(0)
+    s4i = pl.program_id(1)
+    t = n_tiles - 1 - ti  # true tile index (encode runs in reverse)
+    s4 = s4c - 1 - s4i
+
+    @pl.when((ti == 0) & (s4i == 0))
+    def _():
+        states_scr[:] = jnp.full((rows, L), DECODE_CONSUME_POINT_16, jnp.uint32)
+
+    def bcast(ref):
+        return jnp.broadcast_to(ref[0, 0:1, :], (rows, 128)).astype(jnp.int32)
+
+    fc_lo, fc_hi = bcast(fc_lo_ref), bcast(fc_hi_ref)
+    m_lo, m_hi = bcast(m_lo_ref), bcast(m_hi_ref)
+    l_lo, l_hi = bcast(l_lo_ref), bcast(l_hi_ref)
+
+    def gather256(lo, hi, idx):
+        g_lo = jnp.take_along_axis(lo, jnp.minimum(idx, 127), axis=1)
+        g_hi = jnp.take_along_axis(hi, jnp.maximum(idx - 128, 0), axis=1)
+        return jnp.where(idx < 128, g_lo, g_hi)
+
+    # inclusive lower-triangular ones: (emit @ tri)[l] = sum_{j<=l} emit[j]
+    tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tri = (tri_r <= tri_c).astype(jnp.bfloat16)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 0)
+    base_pos = (((t * rows + row) * s4c + s4) * L + lane) * 4
+    vlen = vlen_ref[0, 0]
+
+    emit_point = jnp.uint32(1 << (31 - bits))  # (2^15 >> bits) << 16
+    k_minus = jnp.uint32((1 << bits))
+    mask16 = jnp.uint32(0xFFFF)
+
+    packed = packed_ref[0]
+    states = states_scr[:]
+    cnt_packed = jnp.zeros((rows, L), jnp.int32)
+
+    for i in range(3, -1, -1):  # steps run backward within the group
+        byte = (packed >> (8 * i)) & 0xFF
+        fcv = pltpu.bitcast(gather256(fc_lo, fc_hi, byte), jnp.uint32)
+        freq = fcv & mask16
+        cum = fcv >> jnp.uint32(16)
+        mv = pltpu.bitcast(gather256(m_lo, m_hi, byte), jnp.uint32)
+        lv = pltpu.bitcast(gather256(l_lo, l_hi, byte), jnp.uint32)
+
+        valid = (base_pos + i) < vlen
+        emit = (states >= emit_point * freq) & valid
+        word = pltpu.bitcast(states & mask16, jnp.int32)
+        states = jnp.where(emit, states >> jnp.uint32(16), states)
+
+        # q = states // freq via magic multiply (u32 mulhi from 16-bit limbs)
+        a0, a1 = mv & mask16, mv >> jnp.uint32(16)
+        b0, b1 = states & mask16, states >> jnp.uint32(16)
+        ll = a0 * b0
+        lh = a0 * b1
+        hl = a1 * b0
+        hh = a1 * b1
+        tt = (ll >> jnp.uint32(16)) + (hl & mask16) + (lh & mask16)
+        hi = hh + (hl >> jnp.uint32(16)) + (lh >> jnp.uint32(16)) + (tt >> jnp.uint32(16))
+        q31 = (hi << jnp.uint32(1)) | ((tt >> jnp.uint32(15)) & jnp.uint32(1))
+        q = q31 >> lv
+
+        # state' = q*(2^bits - freq) + cumul + state  (== (q<<B)+cum+(state%freq))
+        new_states = q * (k_minus - freq) + cum + states
+        states = jnp.where(valid, new_states, states)
+
+        # compact this step's emitted words to slots 0..cnt-1 (lane-ascending,
+        # the forward-stream order): lower_bound over the inclusive prefix.
+        prefix = jnp.dot(emit.astype(jnp.bfloat16), tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+        cnt = prefix[:, L - 1 :]
+        target = lane + 1
+        lo = jnp.zeros((rows, L), jnp.int32)
+        for sz in (64, 32, 16, 8, 4, 2, 1):
+            mid = lo + sz
+            v = jnp.take_along_axis(prefix, mid - 1, axis=1)
+            lo = jnp.where(v < target, mid, lo)
+        win = jnp.take_along_axis(word, jnp.minimum(lo, 127), axis=1)
+        win = jnp.where(lane < cnt, win, 0)
+        win_ref[0, i] = win
+        cnt_packed = cnt_packed | ((cnt + jnp.zeros((rows, L), jnp.int32)) << (8 * i))
+
+    states_scr[:] = states
+    states_ref[:] = states
+    cntp_ref[0, 0] = cnt_packed
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "s4c", "n_tiles", "bits", "interpret"))
+def _encode_mega(vlen, fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed, *, rows, s4c, n_tiles, bits, interpret=False):
+    kernel = functools.partial(_encode_kernel, rows=rows, s4c=s4c, n_tiles=n_tiles, bits=bits)
+    tab_spec = pl.BlockSpec((1, 8, 128), lambda t, s4: (n_tiles - 1 - t, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, s4c),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, s4: (0, 0), memory_space=pltpu.SMEM),
+            tab_spec,
+            tab_spec,
+            tab_spec,
+            tab_spec,
+            tab_spec,
+            tab_spec,
+            pl.BlockSpec((1, rows, 128), lambda t, s4: (n_tiles - 1 - t, 0, s4c - 1 - s4), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4, rows, 128), lambda t, s4: (n_tiles - 1 - t, s4c - 1 - s4, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, 128), lambda t, s4: (n_tiles - 1 - t, s4c - 1 - s4, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, L), lambda t, s4: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 4 * s4c, rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, s4c, rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((rows, L), jnp.uint32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rows, L), jnp.uint32)],
+        interpret=interpret,
+    )(vlen, fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed)
+
+
+def _concat_kernel(
+    wq_ref,  # SMEM (1,1) i32: number of 128-slot output chunks in use
+    win_ref,  # VMEM [1, S, Rc, 128] i32: per-step compacted words
+    cnt_ref,  # VMEM [1, Rc, 128] i32: per-step word counts (lanes 0..S-1)
+    out_ref,  # out VMEM [1, Rc, Wcap] i32: packed u32 stream slots
+    *,
+    rc: int,
+    steps: int,
+):
+    cnt = cnt_ref[0].astype(jnp.float32)
+    tri_r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    tri_c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri_excl = (tri_r < tri_c).astype(jnp.float32)
+    base = jnp.dot(cnt, tri_excl, preferred_element_type=jnp.float32).astype(jnp.int32)
+    cnt_i = cnt_ref[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rc, 128), 1)
+
+    # The step loop is split into groups of <= 16: 64 unrolled gathers in one
+    # dynamic-loop body crash the Mosaic compiler, 32 compile fine.  Each
+    # group makes its own pass over the output chunks and ORs its words in
+    # (disjoint by construction: a word index hits exactly one step).
+    def chunk_pass(s_lo, s_hi, first):
+        def chunk_body(c, carry):
+            w0 = (c * 128 + lane) * 2
+            w1 = w0 + 1
+            acc0 = jnp.zeros((rc, 128), jnp.int32)
+            acc1 = jnp.zeros((rc, 128), jnp.int32)
+            for s in range(s_lo, s_hi):
+                bs = base[:, s : s + 1]
+                cs = cnt_i[:, s : s + 1]
+                ws = win_ref[0, s]
+                k0 = w0 - bs
+                k1 = w1 - bs
+                g0 = jnp.take_along_axis(ws, jnp.clip(k0, 0, 127), axis=1)
+                g1 = jnp.take_along_axis(ws, jnp.clip(k1, 0, 127), axis=1)
+                acc0 = jnp.where((k0 >= 0) & (k0 < cs), g0, acc0)
+                acc1 = jnp.where((k1 >= 0) & (k1 < cs), g1, acc1)
+            packed = acc0 | (acc1 << 16)
+            if not first:
+                packed = packed | out_ref[0, :, pl.ds(c * 128, 128)]
+            out_ref[0, :, pl.ds(c * 128, 128)] = packed
+            return carry
+
+        jax.lax.fori_loop(0, wq_ref[0, 0], chunk_body, 0)
+
+    for g, s_lo in enumerate(range(0, steps, 16)):
+        chunk_pass(s_lo, min(s_lo + 16, steps), first=g == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "rc", "steps", "wcap", "n_tiles", "interpret"))
+def _concat_mega(wq, win, cnt, *, rows, rc, steps, wcap, n_tiles, interpret=False):
+    kernel = functools.partial(_concat_kernel, rc=rc, steps=steps)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, rows // rc),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, r: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, steps, rc, 128), lambda t, r: (t, 0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rc, 128), lambda t, r: (t, r, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rc, wcap), lambda t, r: (t, r, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows, wcap), jnp.int32),
+        interpret=interpret,
+    )(wq, win, cnt)
+
+
+@functools.partial(jax.jit, static_argnames=("s4c",))
+def _unpack_counts(cntp, *, s4c):
+    """[T, s4c, R, 128] packed counts -> [T, R, 128] (step s in lane s)."""
+    c = cntp[:, :, :, 0]  # [T, s4c, R]
+    steps = jnp.stack([(c >> (8 * i)) & 0xFF for i in range(4)], axis=2)  # [T, s4c, 4, R]
+    n_tiles, _, _, rows = steps.shape
+    cnt = steps.reshape(n_tiles, s4c * 4, rows).transpose(0, 2, 1)
+    pad = jnp.zeros((n_tiles, rows, 128 - s4c * 4), jnp.int32)
+    return jnp.concatenate([cnt, pad], axis=2)
+
+
+def tpx_encode_tpu(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = None, interpret: bool = False) -> bytes:
+    """Encode to the tpx format on the TPU; bit-identical to tpx_encode."""
+    p = p or TpxParams(bits=bits)
+    bits = p.bits
+    if p.lanes != L or p.steps % 4 or p.rows % 8:
+        raise ValueError("kernel encode requires lanes=128, steps%4==0, rows%8==0")
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    length = arr.size
+    s4c = p.steps // 4
+    # rc=128 keeps the concat kernel's double-buffered win/out blocks inside
+    # VMEM (rc=256 oversubscribes and the remote compile helper dies).
+    rc = min(128, p.rows)
+    wcap = -(-(p.steps * L // 2) // 128) * 128
+
+    out = tpx_header(length, p)
+
+    for mega_base, n_tiles, valid_bytes in _mega_layout(length, p):
+        row_span = n_tiles * p.steps * p.lanes
+        n_valid = min(valid_bytes, p.rows * row_span)
+        flat = np.zeros(p.rows * row_span, dtype=np.uint8)
+        flat[:n_valid] = arr[mega_base : mega_base + n_valid]
+        packed = flat.view("<i4").reshape(n_tiles, p.rows, s4c * L)
+
+        # per-tile histograms: tile t's bytes are the contiguous wire range
+        # [t*rows*steps*L, ...); absent trailing tiles get the 1-symbol hist.
+        tile_bytes = p.rows * p.steps * L
+        hists = [
+            make_tile_hist(flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)], bits)
+            for t in range(n_tiles)
+        ]
+
+        def pack_tab(key):
+            lo = np.zeros((n_tiles, 8, 128), np.int32)
+            hi = np.zeros((n_tiles, 8, 128), np.int32)
+            for t in range(n_tiles):
+                tab = make_enc_tables(hists[t])[key]
+                lo[t, 0, :] = tab[:128]
+                hi[t, 0, :] = tab[128:]
+            return jnp.asarray(lo), jnp.asarray(hi)
+
+        fc_lo, fc_hi = pack_tab("fc")
+        m_lo, m_hi = pack_tab("m")
+        l_lo, l_hi = pack_tab("l")
+        vlen = jnp.asarray(np.array([[n_valid]], np.int32))
+
+        win, cntp, states = _encode_mega(
+            vlen, fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, jnp.asarray(packed),
+            rows=p.rows, s4c=s4c, n_tiles=n_tiles, bits=bits, interpret=interpret,
+        )
+        cnt = _unpack_counts(cntp, s4c=s4c)
+
+        counts = np.asarray(jnp.sum(cnt, axis=2), np.int64)  # words per (t, row)
+        max_words = int(counts.max()) if counts.size else 0
+        w_slots = max(128, -(-(-(-max_words // 2)) // 128) * 128)
+
+        stream_full = _concat_mega(
+            jnp.asarray(np.array([[w_slots // 128]], np.int32)), win, cnt,
+            rows=p.rows, rc=rc, steps=p.steps, wcap=wcap, n_tiles=n_tiles, interpret=interpret,
+        )
+        stream = np.asarray(stream_full[:, :, :w_slots]).view(np.uint32)
+        _write_mega(out, n_tiles, w_slots, np.asarray(states), [h.symbol_count for h in hists], counts.astype(np.uint16), stream)
+
+    out[16:24] = len(out).to_bytes(8, "little")
+    return bytes(out)

@@ -43,6 +43,26 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..models.histogram import Hist, complete_hist, normalize_hist, observe_hist
+
+
+def make_tile_hist(tile_bytes: np.ndarray, bits: int) -> Hist:
+    """Per-tile adaptive histogram (native C++ fast path, numpy fallback).
+
+    Empty tiles (fully beyond the input length) get the 1-symbol histogram,
+    mirroring the reference's defensive handling of zero-length sections.
+    """
+    if tile_bytes.size == 0:
+        counts = np.zeros(256, np.uint32)
+        counts[0] = 1
+        return normalize_hist(counts, 1, bits)
+    from ..runtime import native
+
+    counts = native.observe_hist(tile_bytes)
+    if counts is not None:
+        r = native.normalize_hist(counts, tile_bytes.size, bits)
+        if r is not None:
+            return Hist(symbol_count=r[0], cumul=r[1], total_symbol_count_bits=bits)
+    return normalize_hist(observe_hist(tile_bytes), tile_bytes.size, bits)
 from ..models.tables import make_cumul_inv
 from ..rans import DECODE_CONSUME_POINT_16, encode_emit_point_16
 
@@ -125,16 +145,12 @@ def _mega_layout(length: int, p: TpxParams) -> list[tuple[int, int, int]]:
 
 def tpx_encode(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = None) -> bytes:
     p = p or TpxParams(bits=bits)
+    bits = p.bits
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     length = arr.size
     emit_point = _U32(encode_emit_point_16(bits))
 
-    out = bytearray()
-    out += MAGIC
-    out += length.to_bytes(8, "little")
-    out += b"\0" * 8
-    for v in (bits, p.rows, p.lanes, p.steps, p.tiles):
-        out += int(v).to_bytes(4, "little")
+    out = tpx_header(length, p)
 
     s4c = p.steps // 4
     for mega_base, n_tiles, valid_bytes in _mega_layout(length, p):
@@ -155,14 +171,13 @@ def tpx_encode(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = N
         pos = (((t_ * p.rows + r_) * s4c + s_ // 4) * p.lanes + l_) * 4 + s_ % 4
         valid = pos < n_valid
 
-        # per-tile histograms over valid bytes
-        hists = []
-        for t in range(n_tiles):
-            tb = view[:, t][valid[:, t]]
-            if tb.size == 0:
-                hists.append(normalize_hist(np.concatenate([[1], np.zeros(255, np.uint32)]).astype(np.uint32), 1, bits))
-            else:
-                hists.append(normalize_hist(observe_hist(tb), tb.size, bits))
+        # per-tile histograms over valid bytes: tile t's valid bytes are the
+        # contiguous wire range [t*rows*steps*L, ...) of this megablock
+        tile_bytes = p.rows * p.steps * p.lanes
+        hists = [
+            make_tile_hist(flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)], bits)
+            for t in range(n_tiles)
+        ]
 
         states = np.full((p.rows, p.lanes), DECODE_CONSUME_POINT_16, dtype=_U32)
         words = np.zeros((n_tiles, p.steps, p.rows, p.lanes), dtype=np.uint16)
@@ -196,17 +211,33 @@ def tpx_encode(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = N
                     rw = np.concatenate([rw, [np.uint32(0)]])
                 stream[t, r, : rw.size // 2] = rw[0::2] | (rw[1::2] << np.uint32(16))
 
-        out += int(n_tiles).to_bytes(4, "little")
-        out += int(w_slots).to_bytes(4, "little")
-        out += states.astype("<u4").tobytes()
-        for t in range(n_tiles):
-            out += hists[t].symbol_count.astype("<u2").tobytes()
-            out += counts[t].astype("<u2").tobytes()
-        out += stream.astype("<u4").tobytes()
+        _write_mega(out, n_tiles, w_slots, states, [h.symbol_count for h in hists], counts, stream)
 
     total = len(out)
     out[16:24] = total.to_bytes(8, "little")
     return bytes(out)
+
+
+def tpx_header(length: int, p: TpxParams) -> bytearray:
+    """Wire header shared by the host and device encoders."""
+    out = bytearray()
+    out += MAGIC
+    out += length.to_bytes(8, "little")
+    out += b"\0" * 8
+    for v in (p.bits, p.rows, p.lanes, p.steps, p.tiles):
+        out += int(v).to_bytes(4, "little")
+    return out
+
+
+def _write_mega(out, n_tiles, w_slots, states, freqs, counts, stream) -> None:
+    """Append one megablock (header fields + padded stream) to `out`."""
+    out += int(n_tiles).to_bytes(4, "little")
+    out += int(w_slots).to_bytes(4, "little")
+    out += states.astype("<u4").tobytes()
+    for t in range(n_tiles):
+        out += np.asarray(freqs[t]).astype("<u2").tobytes()
+        out += np.asarray(counts[t]).astype("<u2").tobytes()
+    out += stream.astype("<u4").tobytes()
 
 
 @dataclass

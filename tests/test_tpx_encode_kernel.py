@@ -1,0 +1,76 @@
+"""Device (Pallas) tpx encoder: bit-identical to the numpy wire authority."""
+
+import numpy as np
+import pytest
+
+from hsrans_tpu.kernels.tpx_encode import div_magic, make_enc_tables, tpx_encode_tpu
+from hsrans_tpu.models.histogram import make_hist
+from hsrans_tpu.ops.tpx import TpxParams, tpx_decode, tpx_encode
+
+SMALL = TpxParams(bits=12, rows=8, lanes=128, steps=8, tiles=2)
+
+
+def test_div_magic_exact():
+    """floor(n/d) == (umul(m,n)>>31)>>l for all u31 states, edge divisors."""
+    rng = np.random.default_rng(0)
+    ds = [1, 2, 3, 4, 5, 7, 8, 15, 16, 17, 255, 256, 257, 1023, 1024, 4095, 4096, 32767, 32768]
+    freq = np.zeros(256, dtype=np.uint16)
+    freq[: len(ds)] = ds
+    m, l = div_magic(freq)
+    ns = np.concatenate(
+        [
+            rng.integers(0, 1 << 31, 50_000, dtype=np.int64),
+            np.array([0, 1, 2, (1 << 31) - 1, 1 << 15, (1 << 16) - 1, 1 << 16, 1 << 30]),
+        ]
+    )
+    mask16 = np.uint32(0xFFFF)
+    for i, d in enumerate(ds):
+        # the kernel's 16-bit-limb mulhi, exactly as lowered on the VPU
+        st = ns.astype(np.uint32)
+        mv, lv = np.uint32(m[i]), np.uint32(l[i])
+        a0, a1 = mv & mask16, mv >> np.uint32(16)
+        b0, b1 = st & mask16, st >> np.uint32(16)
+        ll, lh, hl, hh = a0 * b0, a0 * b1, a1 * b0, a1 * b1
+        tt = (ll >> np.uint32(16)) + (hl & mask16) + (lh & mask16)
+        hi = hh + (hl >> np.uint32(16)) + (lh >> np.uint32(16)) + (tt >> np.uint32(16))
+        q = ((hi << np.uint32(1)) | ((tt >> np.uint32(15)) & np.uint32(1))) >> lv
+        assert np.array_equal(q.astype(np.int64), ns // d), d
+
+
+def test_enc_tables_pack():
+    h = make_hist(np.arange(256, dtype=np.uint8).repeat(7), 12)
+    t = make_enc_tables(h)
+    fc = t["fc"].view(np.uint32)
+    assert np.array_equal(fc & 0xFFFF, h.symbol_count.astype(np.uint32))
+    assert np.array_equal(fc >> 16, h.cumul.astype(np.uint32))
+
+
+@pytest.mark.parametrize(
+    "name,size",
+    [
+        ("partial-tile", 777),
+        ("one-mega-exact", SMALL.mega_bytes),
+        ("multi-mega", 2 * SMALL.mega_bytes + 333),
+        ("empty", 0),
+    ],
+)
+def test_encode_kernel_interpret_bit_identical(name, size):
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(11)
+    data = text_like(rng, size) if size else np.zeros(0, np.uint8)
+    a = tpx_encode(data, p=SMALL)
+    b = tpx_encode_tpu(data, p=SMALL, interpret=True)
+    assert a == b
+    assert tpx_decode(b) == data.tobytes()
+
+
+def test_encode_kernel_interpret_rle_heavy():
+    """Single-symbol-dominated rows: near-zero word counts per row."""
+    data = np.concatenate(
+        [np.full(SMALL.mega_bytes // 2, 7, np.uint8), np.arange(999, dtype=np.int64).astype(np.uint8)]
+    )
+    a = tpx_encode(data, p=SMALL)
+    b = tpx_encode_tpu(data, p=SMALL, interpret=True)
+    assert a == b
+    assert tpx_decode(b) == data.tobytes()
