@@ -72,7 +72,7 @@ def _build_codecs(args) -> list[dict]:
                     (lambda b, n=n: lambda c: mt.mt_decode(c, b, n))(bits),
                     bits,
                 )
-        if args["tpx"] and bits <= 12:
+        if args["tpx"]:
             if args["backend"] == "numpy":
                 enc = (lambda b: lambda d: tpx_encode(d, b))(bits)
                 dec = (lambda b: lambda c: tpx_decode(c))(bits)

@@ -74,12 +74,16 @@ def _tile_kernel(
 
     mask_slot = jnp.uint32((1 << bits) - 1)
     consume_point = jnp.uint32(1 << 15)
+    # 2^bits/32 rank buckets, packed 128 per sublane of the [8,128] table
+    # tile: B<=12 -> 1 chunk (row 0 only), B=15 -> 8 chunks.
+    n_bucket_chunks = max(1, (1 << bits) // 32 // 128)
 
-    def bcast(ref):
-        return jnp.broadcast_to(ref[0, 0:1, :], (rows, 128)).astype(jnp.int32)
+    def bcast(ref, r=0):
+        return jnp.broadcast_to(ref[0, r : r + 1, :], (rows, 128)).astype(jnp.int32)
 
-    c0 = bcast(c0_ref)
-    bm = pltpu.bitcast(bcast(bm_ref), jnp.uint32)
+    if n_bucket_chunks == 1:
+        c0 = [bcast(c0_ref)]
+        bm = [pltpu.bitcast(bcast(bm_ref), jnp.uint32)]
     t1a, t1b = bcast(t1a_ref), bcast(t1b_ref)
     t2a, t2b = bcast(t2a_ref), bcast(t2b_ref)
     w_slots = stream_scr.shape[-1]
@@ -106,8 +110,32 @@ def _tile_kernel(
         slot = states & mask_slot
         slot_i = pltpu.bitcast(slot, jnp.int32)
         k = slot_i >> 5
-        c0v = jnp.take_along_axis(c0, k, axis=1)
-        bmv = jnp.take_along_axis(bm, pltpu.bitcast(k, jnp.uint32), axis=1)
+        if n_bucket_chunks == 1:
+            c0v = jnp.take_along_axis(c0[0], k, axis=1)
+            bmv = jnp.take_along_axis(bm[0], pltpu.bitcast(k, jnp.uint32), axis=1)
+        else:
+            # dynamic loop over bucket chunks (sublane rows of the table
+            # tile): keeps the body at 2 gathers regardless of B — the
+            # unrolled form at B=15 (16 gathers/step) breaks the compiler
+            kc = k >> 7
+            kw = k & 127
+            kw_u = pltpu.bitcast(kw, jnp.uint32)
+
+            def bchunk(c, carry):
+                c0v, bmv = carry
+                row_c0 = jnp.broadcast_to(c0_ref[0, pl.ds(c, 1), :], (rows, 128)).astype(jnp.int32)
+                row_bm = jnp.broadcast_to(bm_ref[0, pl.ds(c, 1), :], (rows, 128)).astype(jnp.int32)
+                sel = kc == c
+                c0v = jnp.where(sel, jnp.take_along_axis(row_c0, kw, axis=1), c0v)
+                bmv = jnp.where(sel, jnp.take_along_axis(pltpu.bitcast(row_bm, jnp.uint32), kw_u, axis=1), bmv)
+                return c0v, bmv
+
+            c0v, bmv = jax.lax.fori_loop(
+                0,
+                n_bucket_chunks,
+                bchunk,
+                (jnp.zeros((rows, L), jnp.int32), jnp.zeros((rows, L), jnp.uint32)),
+            )
         # bits 1..(slot&31) of the boundary bitmask; 2<<31 wraps to 0 making
         # the mask 0xFFFFFFFE, which is exactly bits 1..31
         m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
@@ -141,7 +169,9 @@ def _tile_kernel(
         return states, rw, packed
 
     carry = (states_scr[:], rw_scr[:], jnp.zeros((rows, L), jnp.int32))
-    states, rw, packed = jax.lax.fori_loop(0, 4, step_fn, carry, unroll=True)
+    # B>=13 adds 2*n_bucket_chunks gathers per step; unrolling 4 steps of
+    # that crosses the Mosaic compiler's code-size cliff (see tpx_encode.py)
+    states, rw, packed = jax.lax.fori_loop(0, 4, step_fn, carry, unroll=n_bucket_chunks == 1)
     states_scr[:] = states
     rw_scr[:] = rw
     out_ref[0] = packed
@@ -193,9 +223,9 @@ def tpx_decode_tpu(blob: bytes | np.ndarray, interpret: bool = False) -> bytes |
     p, length, megas = parsed
     if p.lanes != L or p.steps % 4:
         return None
-    n_buckets = (1 << p.bits) // 32
-    if n_buckets > 128:
-        return None  # kernel path currently supports B <= 12
+    n_buckets = (1 << p.bits) // 32  # <= 1024; packed 128 per sublane row
+    if n_buckets > 8 * 128:
+        return None
     out = np.zeros(length, dtype=np.uint8)
 
     for mega in megas:
@@ -209,8 +239,8 @@ def tpx_decode_tpu(blob: bytes | np.ndarray, interpret: bool = False) -> bytes |
             if hist is None:
                 return None
             rt = make_rank_tables(hist)
-            c0[t, 0, :n_buckets] = rt["c0"]
-            bm[t, 0, :n_buckets] = rt["bm"]
+            c0[t].reshape(-1)[:n_buckets] = rt["c0"]
+            bm[t].reshape(-1)[:n_buckets] = rt["bm"]
             t1[t] = rt["t1"]
             t2[t] = rt["t2"]
 

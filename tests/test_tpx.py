@@ -30,7 +30,8 @@ def test_tpx_numpy_roundtrip(bits):
         assert tpx_decode(blob, use_rank_tables=True) == data.tobytes(), name
 
 
-def test_rank_tables_exact():
+@pytest.mark.parametrize("bits", (10, 12, 15))
+def test_rank_tables_exact(bits):
     """Bucketed-rank lookup reproduces cumulInv for adversarial hists."""
     rng = np.random.default_rng(5)
     for trial in range(20):
@@ -38,12 +39,12 @@ def test_rank_tables_exact():
         counts = np.zeros(256, np.uint32)
         syms = rng.choice(256, size=n_sym, replace=False)
         counts[syms] = rng.integers(1, 1000, n_sym)
-        hist = make_hist(np.repeat(np.arange(256, dtype=np.uint8), counts), 12)
+        hist = make_hist(np.repeat(np.arange(256, dtype=np.uint8), counts), bits)
         inv = make_cumul_inv(hist)
         rt = make_rank_tables(hist)
         c0, bm = rt["c0"], rt["bm"].view(np.uint32)
         t1, t2 = rt["t1"].view(np.uint32), rt["t2"].view(np.uint32)
-        slots = np.arange(4096, dtype=np.uint32)
+        slots = np.arange(1 << bits, dtype=np.uint32)
         k = (slots >> 5).astype(np.int64)
         m = (np.uint32(2) << (slots & np.uint32(31))) - np.uint32(2)
         rank = (c0[k].astype(np.uint32) + _popcount(bm[k] & m)).astype(np.int64)
@@ -63,6 +64,21 @@ def test_tpx_kernel_interpret():
     data = text_like(rng, 900_000)
     blob = tpx_encode(data, 12)
     assert tpx_decode_tpu(blob, interpret=True) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (13, 15))
+def test_tpx_kernel_interpret_high_bits(bits):
+    """B>=13 path: bucket tables span multiple sublane chunks."""
+    from tools.gen_inputs import text_like
+
+    from hsrans_tpu.kernels.tpx_decode import tpx_decode_tpu
+
+    rng = np.random.default_rng(7)
+    p = TpxParams(bits=bits, rows=8, lanes=128, steps=8, tiles=2)
+    data = text_like(rng, 30_000)
+    blob = tpx_encode(data, p=p)
+    assert tpx_decode_tpu(blob, interpret=True) == data.tobytes()
+    assert tpx_decode(blob, use_rank_tables=True) == data.tobytes()
 
 
 def test_tpx_header_rejects_garbage():
