@@ -12,10 +12,13 @@ Mirrors the reference binary's interface (main.cpp:367-399):
     --include-32blk/--exclude-32blk, --include-block/--exclude-block,
     --include-tpx/--exclude-tpx
     --runs N            timed runs per codec (default 3)
-    --max-simd <level>  accepted for flag parity; maps to backend choice:
-                        'none' forces the numpy scalar paths (the reference's
-                        capability-downgrade test, main.cpp:463-618)
-    --backend {auto,device,numpy}
+    --runs-enc/--runs-dec N   separate encode/decode run counts
+    --max-simd <level>  capability downgrade (reference main.cpp:463-618):
+                        'none' -> numpy scalar tier; other levels -> Pallas
+                        interpret tier
+    --backend {auto,device,interpret,numpy}
+    --no-sleep / --cpu-core N / --low-mem   accepted for flag parity
+                        (thermal sleeps and core pinning have no TPU analog)
 
 Output mirrors the reference's table: ratio, encode/decode MiB/s (min/avg).
 """
@@ -80,8 +83,9 @@ def _build_codecs(args) -> list[dict]:
                 from .kernels.tpx_decode import tpx_decode_tpu
                 from .kernels.tpx_encode import tpx_encode_tpu
 
-                enc = (lambda b: lambda d: tpx_encode_tpu(d, b))(bits)
-                dec = (lambda b: lambda c: tpx_decode_tpu(c))(bits)
+                interp = args["backend"] == "interpret"
+                enc = (lambda b, it=interp: lambda d: tpx_encode_tpu(d, b, interpret=it))(bits)
+                dec = (lambda b, it=interp: lambda c: tpx_decode_tpu(c, interpret=it))(bits)
             add("tpx rANS32x128x1024", enc, dec, bits)
     return codecs
 
@@ -91,6 +95,8 @@ def parse_args(argv: list[str]) -> dict:
         "file": None,
         "test": False,
         "runs": 3,
+        "runs_enc": None,
+        "runs_dec": None,
         "hist_min": 10,
         "hist_max": 15,
         "raw": True,
@@ -107,9 +113,10 @@ def parse_args(argv: list[str]) -> dict:
             args.update(test=True, runs=1, raw=True, blk32=True, mt=True, block=True, tpx=True)
         elif a == "--all":
             args.update(raw=True, blk32=True, mt=True, block=True, tpx=True)
-        elif a == "--runs":
+        elif a in ("--runs", "--runs-enc", "--runs-dec"):
+            key = {"--runs": "runs", "--runs-enc": "runs_enc", "--runs-dec": "runs_dec"}[a]
             i += 1
-            args["runs"] = int(argv[i])
+            args[key] = int(argv[i])
         elif a == "--hist-min":
             i += 1
             args["hist_min"] = int(argv[i])
@@ -121,12 +128,20 @@ def parse_args(argv: list[str]) -> dict:
         elif a.startswith("--exclude-"):
             args[a[10:].replace("-", "")] = False
         elif a == "--max-simd":
+            # capability downgrade (reference: main.cpp:463-618): anything
+            # below the full level forces the scalar/interpret tiers
             i += 1
             if argv[i] == "none":
                 args["backend"] = "numpy"
+            elif args["backend"] == "auto":
+                args["backend"] = "interpret"
         elif a == "--backend":
             i += 1
             args["backend"] = argv[i]
+        elif a in ("--no-sleep", "--low-mem"):
+            pass  # thermal/memory hygiene flags: not needed on TPU; accepted
+        elif a == "--cpu-core":
+            i += 1  # core pinning has no TPU analog; accepted for parity
         elif not a.startswith("-"):
             args["file"] = a
         i += 1
@@ -139,19 +154,31 @@ def main(argv: list[str] | None = None) -> int:
         print(__doc__)
         return 2
 
+    from .runtime.device import banner, detect
+
+    if args["backend"] == "auto":
+        cap = detect()
+        args["backend"] = "device" if cap.tier == "tpu" else "numpy"
+    print(banner())
+
     data = np.fromfile(args["file"], dtype=np.uint8)
     print(f"file: {args['file']} ({data.size} bytes)")
     print(f"{'codec':<28} {'ratio':>8} {'enc MiB/s':>10} {'dec MiB/s':>10}  status")
 
+    runs_enc = args["runs_enc"] or args["runs"]
+    runs_dec = args["runs_dec"] or args["runs"]
     failed = 0
     for codec in _build_codecs(args):
         try:
-            t0 = time.perf_counter()
-            blob = codec["enc"](data)
-            enc_dt = time.perf_counter() - t0
+            blob = None
+            enc_dt = float("inf")
+            for _ in range(runs_enc):
+                t0 = time.perf_counter()
+                blob = codec["enc"](data)
+                enc_dt = min(enc_dt, time.perf_counter() - t0)
             dts = []
             out = None
-            for _ in range(args["runs"]):
+            for _ in range(runs_dec):
                 t0 = time.perf_counter()
                 out = codec["dec"](blob)
                 dts.append(time.perf_counter() - t0)
