@@ -13,8 +13,8 @@ written into the wire format and drive every encode decision:
      or "gift" 1 (ascending pass from the top) until the sum is exactly 2^B.
 
 The host (numpy) implementation below is the canonical one used by encoders;
-`hsrans_tpu.models.jax_hist` provides an on-device variant for fused
-pipelines (may differ in float ULPs; any valid table decodes correctly).
+`hsrans_tpu.models.jax_hist` provides the on-device (jittable) variant for
+fused pipelines, bit-exact with this one (tests/test_jax_hist.py).
 """
 
 from __future__ import annotations
