@@ -21,7 +21,7 @@ from .ops.blk32 import blk32_decode, blk32_encode
 from .ops.block import block_decode, block_encode
 from .ops.mt import mt_decode, mt_encode
 from .ops.reference import raw_decode_16w, raw_encode_16w
-from .ops.tpx import tpx_decode, tpx_encode
+from .ops.tpx import TpxParams, tpx_decode, tpx_encode
 
 __all__ = [
     "Hist",
@@ -36,8 +36,29 @@ __all__ = [
     "block_decode",
     "mt_encode",
     "mt_decode",
+    "TpxParams",
     "tpx_encode",
     "tpx_decode",
+    "tpx_encode_tpu",
+    "tpx_decode_tpu",
+    "mt64_decode_tpu",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name: str):
+    # device-path entry points import jax lazily
+    if name == "tpx_encode_tpu":
+        from .kernels.tpx_encode import tpx_encode_tpu
+
+        return tpx_encode_tpu
+    if name == "tpx_decode_tpu":
+        from .kernels.tpx_decode import tpx_decode_tpu
+
+        return tpx_decode_tpu
+    if name == "mt64_decode_tpu":
+        from .kernels.mt64_decode import mt64_decode_tpu
+
+        return mt64_decode_tpu
+    raise AttributeError(name)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.histogram import complete_hist, make_hist
+from ..models.histogram import complete_hist
 from ..models.tables import make_dec3
 from ..ops.mt import MtBlock, block_index
 from ..ops.planner import BlockPlan, plan_blocks
@@ -108,7 +108,19 @@ def mt_decode_device(
 
     With `mesh`, the block batch is sharded over `axis` via shard_map
     (compressed stream replicated); without, it runs on one device.
+    Single-device blobs with uniform blocks take the Pallas fast path
+    (kernels/mt64_decode.py, ~7 GiB/s on v5e) before the generic scan.
     """
+    if mesh is None and n == 64 and bits <= 12:
+        from ..kernels.mt64_decode import mt64_decode_tpu
+        from ..runtime.device import detect
+
+        cap = detect()
+        if cap.tier != "numpy":
+            fast = mt64_decode_tpu(blob, bits, interpret=cap.pallas_interpret)
+            if fast is not None:
+                return fast
+
     idx = block_index(blob, n)
     if idx is None:
         return None
@@ -204,10 +216,12 @@ def uniform_plan(data: np.ndarray, bits: int, n: int, block_size: int = 1 << 16)
     # remainder is merged into the final block rather than given its own.
     if len(starts) > 1 and length - starts[-1] < n:
         starts.pop()
+    from ..ops.tpx import make_tile_hist  # native C++ fast path when built
+
     rows = []
     for i, start in enumerate(starts):
         end = starts[i + 1] if i + 1 < len(starts) else length
-        freq = make_hist(data[start:end], bits).symbol_count
+        freq = make_tile_hist(data[start:end], bits).symbol_count
         rows.append(BlockPlan(start, end - start, False, 0, freq))
     return rows
 
