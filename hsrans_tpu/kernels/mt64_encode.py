@@ -1,0 +1,322 @@
+"""Pallas TPU *encoder* producing the reference mt wire format (x64 16w).
+
+The reference encodes mt blocks with scalar loops at ~348 MiB/s
+(/root/reference/src/mt_rANS32x64_16w_encode.cpp; encoders are scalar-only,
+README.md:26).  Here each uniformly sized block is one kernel ROW encoded
+from fresh states — the device-mt convention established in
+parallel/sharded.py: every mt block's decoder starts from the header
+snapshot, so fresh-state blocks are a valid wire blob, decodable by the
+unmodified C++ reference (interop-tested), merely byte-different from the
+sequential LIFO oracle.
+
+Structure mirrors kernels/tpx_encode.py (magic-multiply division, MXU
+prefix + binary-search emission compaction, concat phase) with the mt
+twists of kernels/mt64_decode.py:
+
+  * per-block encode tables as per-row shuffle operands;
+  * the idx2idx(64) input permutation folded into the byte unpack: lane j
+    encodes wire byte idx2idx[j], whose byte-within-u32 is simply j&3 and
+    whose u32 lane has a closed iota form;
+  * phase A writes windows in [steps, blocks, 128] layout so phase B is
+    literally the tpx concat kernel with n_tiles=1 — no transpose.
+
+The final (remainder-carrying) block is encoded by the host oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.histogram import complete_hist
+from ..ops.planner import BlockPlan
+from ..ops.reference import encode_groups
+from ..ops.tpx import make_tile_hist
+from ..rans import DECODE_CONSUME_POINT_16
+from .tpx_encode import _concat_mega, make_enc_tables_batch
+
+N = 64
+L = 128
+
+
+def _idx2idx64_div4(j):
+    """(idx2idx64[j] >> 2) as iota arithmetic; idx2idx64[j] & 3 == j & 3."""
+    return 4 * ((j >> 2) & 1) + ((j >> 3) & 3) + 8 * ((j >> 5) & 1)
+
+
+def _mt64_enc_kernel(
+    fc_lo_ref,  # VMEM [G, 128] i32 per-row: freq | cumul<<16 (syms 0..127)
+    fc_hi_ref,
+    m_lo_ref,  # VMEM [G, 128] i32 per-row: division magic
+    m_hi_ref,
+    l_lo_ref,  # VMEM [G, 128] i32 per-row: division shift
+    l_hi_ref,
+    packed_ref,  # VMEM [G, 128] i32: 8 steps x 64 wire bytes of each block
+    win_ref,  # out VMEM [8, G, 128] i32: per-step compacted words
+    cnta_ref,  # out VMEM [1, G, 128] i32: counts of steps 0..3, 8b each
+    cntb_ref,  # out VMEM [1, G, 128] i32: counts of steps 4..7
+    states_ref,  # out VMEM [G, 128] u32: final (= header) states
+    states_scr,  # VMEM [G, 128] u32
+    *,
+    g_rows: int,
+    bits: int,
+):
+    s8i = pl.program_id(1)
+
+    @pl.when(s8i == 0)
+    def _():
+        states_scr[:] = jnp.full((g_rows, L), DECODE_CONSUME_POINT_16, jnp.uint32)
+
+    fc_lo, fc_hi = fc_lo_ref[:], fc_hi_ref[:]
+    m_lo, m_hi = m_lo_ref[:], m_hi_ref[:]
+    l_lo, l_hi = l_lo_ref[:], l_hi_ref[:]
+
+    def gather256(lo, hi, idx):
+        g_lo = jnp.take_along_axis(lo, jnp.minimum(idx, 127), axis=1)
+        g_hi = jnp.take_along_axis(hi, jnp.maximum(idx - 128, 0), axis=1)
+        return jnp.where(idx < 128, g_lo, g_hi)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
+    active = lane < N
+    # inclusive lower-triangular over the 64 active lanes only
+    tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tri = ((tri_r <= tri_c) & (tri_r < N) & (tri_c < N)).astype(jnp.bfloat16)
+
+    emit_point = jnp.uint32(1 << (31 - bits))
+    k_total = jnp.uint32(1 << bits)
+    mask16 = jnp.uint32(0xFFFF)
+
+    packed = packed_ref[:]
+    src_base = _idx2idx64_div4(lane & (N - 1))  # u32 lane of lane j's byte
+    byte_shift = pltpu.bitcast((lane & 3) << 3, jnp.uint32)
+
+    states = states_scr[:]
+    cnt_a = jnp.zeros((g_rows, L), jnp.int32)
+    cnt_b = jnp.zeros((g_rows, L), jnp.int32)
+
+    for i in range(7, -1, -1):  # steps run backward within the group
+        word32 = jnp.take_along_axis(packed, i * 16 + src_base, axis=1)
+        byte = pltpu.bitcast((pltpu.bitcast(word32, jnp.uint32) >> byte_shift) & jnp.uint32(0xFF), jnp.int32)
+
+        fcv = pltpu.bitcast(gather256(fc_lo, fc_hi, byte), jnp.uint32)
+        freq = fcv & mask16
+        cum = fcv >> jnp.uint32(16)
+        mv = pltpu.bitcast(gather256(m_lo, m_hi, byte), jnp.uint32)
+        lv = pltpu.bitcast(gather256(l_lo, l_hi, byte), jnp.uint32)
+
+        emit = (states >= emit_point * freq) & active
+        word = pltpu.bitcast(states & mask16, jnp.int32)
+        states = jnp.where(emit, states >> jnp.uint32(16), states)
+
+        a0, a1 = mv & mask16, mv >> jnp.uint32(16)
+        b0, b1 = states & mask16, states >> jnp.uint32(16)
+        ll = a0 * b0
+        lh = a0 * b1
+        hl = a1 * b0
+        hh = a1 * b1
+        tt = (ll >> jnp.uint32(16)) + (hl & mask16) + (lh & mask16)
+        hi = hh + (hl >> jnp.uint32(16)) + (lh >> jnp.uint32(16)) + (tt >> jnp.uint32(16))
+        q31 = (hi << jnp.uint32(1)) | ((tt >> jnp.uint32(15)) & jnp.uint32(1))
+        q = q31 >> lv
+        new_states = q * (k_total - freq) + cum + states
+        states = jnp.where(active, new_states, states)
+
+        prefix = jnp.dot(emit.astype(jnp.bfloat16), tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+        cnt = prefix[:, N - 1 : N]
+        target = lane + 1
+        lo = jnp.zeros((g_rows, L), jnp.int32)
+        for sz in (32, 16, 8, 4, 2, 1):
+            mid = lo + sz
+            v = jnp.take_along_axis(prefix, jnp.minimum(mid - 1, N - 1), axis=1)
+            lo = jnp.where(v < target, mid, lo)
+        win = jnp.take_along_axis(word, jnp.minimum(lo, N - 1), axis=1)
+        win = jnp.where(lane < cnt, win, 0)
+        win_ref[i] = win
+        cnt_bcast = cnt + jnp.zeros((g_rows, L), jnp.int32)
+        if i < 4:
+            cnt_a = cnt_a | (cnt_bcast << (8 * i))
+        else:
+            cnt_b = cnt_b | (cnt_bcast << (8 * (i - 4)))
+
+    states_scr[:] = states
+    states_ref[:] = states
+    cnta_ref[0] = cnt_a
+    cntb_ref[0] = cnt_b
+
+
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s8c", "bits", "interpret"))
+def _encode_blocks(fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed, *, g_rows, n_groups, s8c, bits, interpret=False):
+    kernel = functools.partial(_mt64_enc_kernel, g_rows=g_rows, bits=bits)
+    row_spec = pl.BlockSpec((g_rows, 128), lambda g, s8: (g, 0), memory_space=pltpu.VMEM)
+    nb = n_groups * g_rows
+    return pl.pallas_call(
+        kernel,
+        grid=(n_groups, s8c),
+        in_specs=[row_spec] * 6
+        + [pl.BlockSpec((g_rows, 128), lambda g, s8: (g, s8c - 1 - s8), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((8, g_rows, 128), lambda g, s8: (s8c - 1 - s8, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_rows, 128), lambda g, s8: (s8c - 1 - s8, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_rows, 128), lambda g, s8: (s8c - 1 - s8, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_rows, 128), lambda g, s8: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s8c * 8, nb, 128), jnp.int32),
+            jax.ShapeDtypeStruct((s8c, nb, 128), jnp.int32),
+            jax.ShapeDtypeStruct((s8c, nb, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 128), jnp.uint32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g_rows, L), jnp.uint32)],
+        interpret=interpret,
+    )(fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed)
+
+
+def mt64_encode_tpu(
+    data: bytes | np.ndarray,
+    bits: int,
+    block_size: int = 4096,
+    interpret: bool = False,
+) -> bytes:
+    """Encode to the mt_rANS32x64 16w wire format on the TPU.
+
+    Uniform `block_size` blocks (multiple of 512, <= 8192 so the concat
+    tiles fit VMEM), fresh states per block; the remainder block is encoded
+    by the host oracle.  The blob decodes in ops.mt.mt_decode, the mt64
+    Pallas decoder, and the unmodified C++ reference.
+    """
+    if block_size % (N * 8) or block_size > 8192:
+        raise ValueError("block_size must be a multiple of 512 and <= 8192")
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    length = arr.size
+
+    # same segmentation as parallel.sharded.uniform_plan: uniform blocks,
+    # remainder merged into the final block, which the host oracle encodes
+    # (it owns the trailing partial lane group)
+    starts = list(range(0, length, block_size)) or [0]
+    if len(starts) > 1 and length - starts[-1] < N:
+        starts.pop()
+    n_kernel = len(starts) - 1
+    steps = block_size // N
+    s8c = steps // 8
+
+    parts: list[bytes] = []
+    if n_kernel:
+        nb = n_kernel
+        g_rows = min(256, max(8, -(-nb // 8) * 8))
+        nb_pad = -(-nb // g_rows) * g_rows
+
+        from ..runtime import native
+
+        nb_hists = native.hist_blocks(arr[: nb * block_size], block_size, bits, nb)
+        if nb_hists is None:  # no native library: per-block host fallback
+            hs = [make_tile_hist(arr[k * block_size : (k + 1) * block_size], bits) for k in range(nb)]
+            freqs = np.stack([h.symbol_count for h in hs])
+            cumuls = np.stack([h.cumul for h in hs])
+        else:
+            freqs, cumuls = nb_hists
+
+        et = make_enc_tables_batch(freqs, cumuls)
+        fc_lo = np.zeros((nb_pad, 128), np.int32)
+        fc_hi = np.zeros((nb_pad, 128), np.int32)
+        m_lo = np.full((nb_pad, 128), np.int32(-(1 << 31)))  # d=1 magic for pads
+        m_hi = np.full((nb_pad, 128), np.int32(-(1 << 31)))
+        l_lo = np.zeros((nb_pad, 128), np.int32)
+        l_hi = np.zeros((nb_pad, 128), np.int32)
+        fc_lo[:nb], fc_hi[:nb] = et["fc"][:, :128], et["fc"][:, 128:]
+        m_lo[:nb], m_hi[:nb] = et["m"][:, :128], et["m"][:, 128:]
+        l_lo[:nb], l_hi[:nb] = et["l"][:, :128], et["l"][:, 128:]
+
+        packed = np.zeros((nb_pad, s8c * 128), np.int32)
+        packed[:nb] = arr[: nb * block_size].view("<i4").reshape(nb, s8c * 128)
+
+        win, cnta, cntb, states = _encode_blocks(
+            *[jnp.asarray(x) for x in (fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed)],
+            g_rows=g_rows,
+            n_groups=nb_pad // g_rows,
+            s8c=s8c,
+            bits=bits,
+            interpret=interpret,
+        )
+
+        # cnt per (block, step) packed for the concat kernel: step s in lane s
+        cnt_steps = _unpack_counts_mt(cnta, cntb)  # [nb_pad, 128] (steps <= 128)
+        counts = np.asarray(jnp.sum(cnt_steps, axis=1))  # words per block
+        wcap = -(-(steps * N // 2) // 128) * 128
+        w_slots = max(128, -(-int(counts.max()) // 2 // 128) * 128) if counts.size else 128
+
+        # rc bounded by VMEM (win tile = steps*rc*512 B) and must divide
+        # nb_pad; g_rows always does
+        rc = min(max(8, (4 << 20) // (steps * 128 * 4)), g_rows)
+        stream_full = _concat_mega(
+            jnp.asarray(np.array([[w_slots // 128]], np.int32)),
+            win.reshape(1, steps, nb_pad, 128),
+            cnt_steps.reshape(1, nb_pad, 128),
+            rows=nb_pad,
+            rc=rc,
+            steps=steps,
+            wcap=wcap,
+            n_tiles=1,
+            interpret=interpret,
+        )
+        stream = np.asarray(stream_full[0, :, :w_slots]).view(np.uint32)
+        states_np = np.asarray(states)
+
+        for k in range(nb):
+            w_count = int(counts[k])
+            offset = 2 * N + 256 + w_count - 1  # never the last block
+            parts.append(
+                block_size.to_bytes(8, "little")
+                + offset.to_bytes(8, "little")
+                + states_np[k, :N].astype("<u4").tobytes()
+                + freqs[k].astype("<u2").tobytes()
+                + stream[k].view("<u4").tobytes()[: 2 * w_count]
+            )
+
+    # host-oracle final block (remainder + trailing partial lane group)
+    start = starts[-1]
+    if length > start:
+        row = BlockPlan(start, length - start, False, 0, make_tile_hist(arr[start:length], bits).symbol_count)
+        hist = complete_hist(row.freq, bits)
+        from ..ops.mt import _lane_groups
+
+        groups, valid = _lane_groups(arr, start, length, length, N)
+        st = np.full(N, DECODE_CONSUME_POINT_16, dtype=np.uint32)
+        words, emits, st = encode_groups(st, groups, valid, hist)
+        w = words[emits]
+        offset = 2 * N + 256 + w.size - 2
+        parts.append(
+            int(row.size).to_bytes(8, "little")
+            + int(offset).to_bytes(8, "little")
+            + st.astype("<u4").tobytes()
+            + row.freq.astype("<u2").tobytes()
+            + w.astype("<u2").tobytes()
+        )
+
+    out = bytearray()
+    out += int(length).to_bytes(8, "little")
+    out += b"\0" * 8
+    for p in parts:
+        out += p
+    out[8:16] = len(out).to_bytes(8, "little")
+    return bytes(out)
+
+
+@jax.jit
+def _unpack_counts_mt(cnta, cntb):
+    """[s8c, NB, 128] packed x2 -> [NB, 128] with step s's count in lane s."""
+    s8c, nb, _ = cnta.shape
+    a = cnta[:, :, 0]  # [s8c, NB]
+    b = cntb[:, :, 0]
+    steps = jnp.stack(
+        [(a >> (8 * i)) & 0xFF for i in range(4)] + [(b >> (8 * i)) & 0xFF for i in range(4)],
+        axis=1,
+    )  # [s8c, 8, NB]
+    cnt = steps.reshape(s8c * 8, nb).T  # [NB, steps]
+    pad = jnp.zeros((nb, 128 - s8c * 8), jnp.int32)
+    return jnp.concatenate([cnt.astype(jnp.int32), pad], axis=1)

@@ -72,6 +72,22 @@ def make_enc_tables(hist: Hist) -> dict[str, np.ndarray]:
     return {"fc": fc.view(np.int32), "m": m.view(np.int32), "l": l.view(np.int32)}
 
 
+def make_enc_tables_batch(freqs: np.ndarray, cumuls: np.ndarray) -> dict[str, np.ndarray]:
+    """Vectorized make_enc_tables over a block batch: [B, 256] inputs."""
+    f32 = freqs.astype(np.uint32)
+    fc = f32 | (cumuls.astype(np.uint32) << np.uint32(16))
+    d = np.maximum(freqs.astype(np.int64), 1)
+    l = np.zeros_like(d)
+    for k in range(16):
+        l = np.where(d > (1 << k), k + 1, l)
+    m = -(-(np.int64(1) << (31 + l)) // d)
+    return {
+        "fc": fc.view(np.int32),
+        "m": m.astype(np.uint32).view(np.int32),
+        "l": l.astype(np.int32),
+    }
+
+
 def _encode_kernel(
     vlen_ref,  # SMEM (1,1) i32: valid bytes in this megablock
     fc_lo_ref,  # VMEM [1, 8, 128] i32 (row 0: freq | cumul<<16, syms 0..127)

@@ -71,6 +71,17 @@ def load(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_uint16),
     ]
+    lib.hsr_hist_blocks.restype = None
+    lib.hsr_hist_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.c_uint32,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int32,
+    ]
     lib.hsr_plan_blocks.restype = ctypes.c_int64
     lib.hsr_plan_blocks.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -122,6 +133,31 @@ def normalize_hist(hist: np.ndarray, data_bytes: int, bits: int) -> tuple[np.nda
         bits,
         freq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         cumul.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    return freq, cumul
+
+
+def hist_blocks(data: np.ndarray, block_size: int, bits: int, n_blocks: int, threads: int = 0) -> tuple[np.ndarray, np.ndarray] | None:
+    """Batched observe+normalize for uniform blocks (threaded C++).
+
+    Returns (freq u16[n_blocks, 256], cumul u16[n_blocks, 256]); the final
+    block covers the remainder; blocks past the data get 1-symbol hists.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    freq = np.zeros((n_blocks, 256), dtype=np.uint16)
+    cumul = np.zeros((n_blocks, 256), dtype=np.uint16)
+    lib.hsr_hist_blocks(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        data.size,
+        block_size,
+        bits,
+        n_blocks,
+        freq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        cumul.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        threads,
     )
     return freq, cumul
 

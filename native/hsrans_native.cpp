@@ -129,6 +129,65 @@ void hsr_normalize_hist(const uint32_t *hist, uint64_t data_bytes, uint32_t bits
 }
 
 // ---------------------------------------------------------------------------
+// Batched uniform-block histograms (threaded) --------------------------------
+//
+// observe + normalize for B consecutive uniform blocks in one call — the
+// host prep for the device block encoders (kernels/mt64_encode.py,
+// kernels/tpx_encode.py).  The final (remainder) block is included; an
+// empty tail block gets the 1-symbol histogram.
+
+struct HistBlocksJob {
+  const uint8_t *data;
+  uint64_t block_size, length;
+  uint32_t bits;
+  uint16_t *out_freq;   // [n_blocks][256]
+  uint16_t *out_cumul;  // [n_blocks][256]
+  std::atomic<int64_t> next{0};
+  int64_t n_blocks;
+};
+
+static void hist_blocks_worker(void *arg) {
+  auto *j = (HistBlocksJob *)arg;
+  uint32_t counts[256];
+  for (;;) {
+    const int64_t k = j->next.fetch_add(1);
+    if (k >= j->n_blocks) return;
+    const uint64_t start = (uint64_t)k * j->block_size;
+    const uint64_t end = start + j->block_size < j->length ? start + j->block_size : j->length;
+    memset(counts, 0, sizeof(counts));
+    if (end > start) {
+      hsr_observe_hist(j->data + start, end - start, counts);
+      hsr_normalize_hist(counts, end - start, j->bits, j->out_freq + 256 * k,
+                         j->out_cumul + 256 * k);
+    } else {
+      counts[0] = 1;
+      hsr_normalize_hist(counts, 1, j->bits, j->out_freq + 256 * k, j->out_cumul + 256 * k);
+    }
+  }
+}
+
+void hsr_hist_blocks(const uint8_t *data, uint64_t length, uint64_t block_size,
+                     uint32_t bits, int64_t n_blocks, uint16_t *out_freq,
+                     uint16_t *out_cumul, int32_t threads) {
+  HistBlocksJob job;
+  job.data = data;
+  job.block_size = block_size;
+  job.length = length;
+  job.bits = bits;
+  job.out_freq = out_freq;
+  job.out_cumul = out_cumul;
+  job.n_blocks = n_blocks;
+  if (threads <= 0) threads = (int32_t)std::thread::hardware_concurrency();
+  if (threads <= 1 || n_blocks < 4) {
+    hist_blocks_worker(&job);
+    return;
+  }
+  std::vector<std::thread> ws;
+  for (int32_t t = 0; t < threads; t++) ws.emplace_back(hist_blocks_worker, &job);
+  for (auto &w : ws) w.join();
+}
+
+// ---------------------------------------------------------------------------
 // Greedy block segmentation (the block/mt codec planner) ---------------------
 //
 // Reproduces the backward greedy segmentation of block_rANS32x64_16w_encode

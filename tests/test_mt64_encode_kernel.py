@@ -1,0 +1,46 @@
+"""mt64 Pallas encoder: valid reference-format blobs, equal to the scan path."""
+
+import numpy as np
+import pytest
+
+from hsrans_tpu.kernels.mt64_decode import mt64_decode_tpu
+from hsrans_tpu.kernels.mt64_encode import mt64_encode_tpu
+from hsrans_tpu.ops.mt import mt_decode
+from hsrans_tpu.parallel.sharded import mt_encode_device, uniform_plan
+
+
+@pytest.mark.parametrize(
+    "name,size,block",
+    [
+        ("text", 200_000, 4096),
+        ("odd-tail", 123_457, 4096),
+        ("8k-blocks", 100_000, 8192),
+        ("sub-block", 700, 4096),
+        ("empty", 0, 4096),
+    ],
+)
+def test_mt64_encode_kernel(name, size, block):
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(13)
+    data = text_like(rng, size) if size else np.zeros(0, np.uint8)
+    blob = mt64_encode_tpu(data, 12, block_size=block, interpret=True)
+    # decodes through the oracle AND the Pallas decoder
+    assert mt_decode(blob, 12, 64) == data.tobytes()
+    assert mt64_decode_tpu(blob, 12, interpret=True) == data.tobytes()
+    # and is byte-identical to the scan-based device encoder on the same plan
+    ref = mt_encode_device(data, 12, 64, plan=uniform_plan(data, 12, 64, block))
+    assert blob == ref
+
+
+def test_mt64_encode_kernel_rle():
+    data = np.concatenate([np.full(60_000, 7, np.uint8), np.arange(5000, dtype=np.int64).astype(np.uint8)])
+    blob = mt64_encode_tpu(data, 12, block_size=4096, interpret=True)
+    assert mt_decode(blob, 12, 64) == data.tobytes()
+
+
+def test_mt64_encode_rejects_bad_block_size():
+    with pytest.raises(ValueError):
+        mt64_encode_tpu(np.zeros(10, np.uint8), 12, block_size=1000)
+    with pytest.raises(ValueError):
+        mt64_encode_tpu(np.zeros(10, np.uint8), 12, block_size=16384)
