@@ -35,8 +35,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from hsrans_tpu.kernels import tpx_decode as K
-    from hsrans_tpu.models.histogram import complete_hist
-    from hsrans_tpu.ops.tpx import TpxParams, make_rank_tables, tpx_encode, tpx_parse
+    from hsrans_tpu.ops.tpx import TpxParams, tpx_encode, tpx_parse
     from tools.gen_inputs import text_like
 
     p = TpxParams(bits=BITS)
@@ -57,7 +56,6 @@ def main() -> None:
     )
 
     _, length, megas = tpx_parse(blob)
-    n_buckets = (1 << BITS) // 32
 
     # stack per-mega kernel inputs (all full megas -> identical shapes)
     w_max = max(m.w_slots for m in megas)
@@ -72,15 +70,7 @@ def main() -> None:
     stream = np.zeros((M, T, p.rows, w_max), np.int32)
     states = np.zeros((M, p.rows, p.lanes), np.uint32)
     for i, m in enumerate(megas):
-        for t in range(m.n_tiles):
-            hist = complete_hist(m.freqs[t], BITS)
-            rt = make_rank_tables(hist)
-            c0[i, t, 0, :n_buckets] = rt["c0"]
-            bm[i, t, 0, :n_buckets] = rt["bm"]
-            t1a[i, t, 0] = rt["t1"][:128]
-            t1b[i, t, 0] = rt["t1"][128:]
-            t2a[i, t, 0] = rt["t2"][:128]
-            t2b[i, t, 0] = rt["t2"][128:]
+        c0[i], bm[i], t1a[i], t1b[i], t2a[i], t2b[i] = K.mega_dec_tables(m.freqs, BITS)
         stream[i, :, :, : m.w_slots] = m.stream.view(np.int32)
         states[i] = m.states
 

@@ -59,10 +59,8 @@ def _inv_idx2idx64(p):
 def _mt64_kernel(
     c0_ref,  # VMEM [G, 128] i32: per-row rank-bucket coarse ranks
     bm_ref,  # VMEM [G, 128] i32: per-row boundary bitmasks
-    t1lo_ref,  # VMEM [G, 128] i32: rank 0..127 -> sym | freq<<8
-    t1hi_ref,  # VMEM [G, 128] i32: rank 128..255
-    t2lo_ref,  # VMEM [G, 128] i32: rank -> cumul
-    t2hi_ref,
+    tp_lo_ref,  # VMEM [G, 128] i32: rank 0..127 -> sym|(freq-1)<<8|cumul<<20
+    tp_hi_ref,  # VMEM [G, 128] i32: rank 128..255
     stream_ref,  # VMEM [G, W] i32: per-row word stream (2 u16 per slot)
     init_ref,  # VMEM [G, 128] u32: header states (lanes 64.. are dummies)
     out_ref,  # out VMEM [G, 128] i32: 8 steps x 16 u32 of wire bytes
@@ -85,8 +83,7 @@ def _mt64_kernel(
 
     c0 = c0_ref[:]
     bm = pltpu.bitcast(bm_ref[:], jnp.uint32)
-    t1lo, t1hi = t1lo_ref[:], t1hi_ref[:]
-    t2lo, t2hi = t2lo_ref[:], t2hi_ref[:]
+    tp_lo, tp_hi = tp_lo_ref[:], tp_hi_ref[:]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
     active = lane < N
@@ -114,10 +111,10 @@ def _mt64_kernel(
         bmv = jnp.take_along_axis(bm, pltpu.bitcast(k, jnp.uint32), axis=1)
         m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
         rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
-        v1 = gather256(t1lo, t1hi, rank)
-        sym = v1 & 0xFF
-        freq = pltpu.bitcast(v1 >> 8, jnp.uint32)
-        cum = pltpu.bitcast(gather256(t2lo, t2hi, rank), jnp.uint32)
+        v1 = pltpu.bitcast(gather256(tp_lo, tp_hi, rank), jnp.uint32)
+        sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
+        freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
+        cum = v1 >> jnp.uint32(20)
 
         new_states = (states >> jnp.uint32(bits)) * freq + slot - cum
         new_states = jnp.where(active, new_states, states)
@@ -154,13 +151,13 @@ def _mt64_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s8c", "w_slots", "bits", "interpret"))
-def _decode_blocks(c0, bm, t1lo, t1hi, t2lo, t2hi, stream, init, *, g_rows, n_groups, s8c, w_slots, bits, interpret=False):
+def _decode_blocks(c0, bm, tp_lo, tp_hi, stream, init, *, g_rows, n_groups, s8c, w_slots, bits, interpret=False):
     kernel = functools.partial(_mt64_kernel, g_rows=g_rows, bits=bits)
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s8: (g, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n_groups, s8c),
-        in_specs=[row_spec] * 6
+        in_specs=[row_spec] * 4
         + [
             pl.BlockSpec((g_rows, w_slots), lambda g, s8: (g, 0), memory_space=pltpu.VMEM),
             row_spec,
@@ -172,7 +169,7 @@ def _decode_blocks(c0, bm, t1lo, t1hi, t2lo, t2hi, stream, init, *, g_rows, n_gr
             pltpu.VMEM((g_rows, L), jnp.int32),
         ],
         interpret=interpret,
-    )(c0, bm, t1lo, t1hi, t2lo, t2hi, stream, init)
+    )(c0, bm, tp_lo, tp_hi, stream, init)
 
 
 def mt64_decode_tpu(blob: bytes | np.ndarray, bits: int, interpret: bool = False) -> bytes | None:
@@ -227,10 +224,8 @@ def mt64_decode_tpu(blob: bytes | np.ndarray, bits: int, interpret: bool = False
 
         c0 = np.zeros((nb_pad, 128), np.int32)
         bm = np.zeros((nb_pad, 128), np.int32)
-        t1lo = np.zeros((nb_pad, 128), np.int32)
-        t1hi = np.zeros((nb_pad, 128), np.int32)
-        t2lo = np.zeros((nb_pad, 128), np.int32)
-        t2hi = np.zeros((nb_pad, 128), np.int32)
+        tp_lo = np.zeros((nb_pad, 128), np.int32)
+        tp_hi = np.zeros((nb_pad, 128), np.int32)
         stream_rows = np.zeros((nb_pad, w_slots), np.uint32)
         init = np.full((nb_pad, L), DECODE_CONSUME_POINT_16, np.uint32)
         n_buckets = (1 << bits) // 32
@@ -241,10 +236,8 @@ def mt64_decode_tpu(blob: bytes | np.ndarray, bits: int, interpret: bool = False
             rt = make_rank_tables(hist)
             c0[i, :n_buckets] = rt["c0"]
             bm[i, :n_buckets] = rt["bm"]
-            t1lo[i] = rt["t1"][:128]
-            t1hi[i] = rt["t1"][128:]
-            t2lo[i] = rt["t2"][:128]
-            t2hi[i] = rt["t2"][128:]
+            tp_lo[i] = rt["tp"][:128]
+            tp_hi[i] = rt["tp"][128:]
             words = stream[b.word_start : b.word_start + w_counts[i]].astype(np.uint32)
             if words.size & 1:
                 words = np.concatenate([words, np.zeros(1, np.uint32)])
@@ -254,10 +247,8 @@ def mt64_decode_tpu(blob: bytes | np.ndarray, bits: int, interpret: bool = False
         packed = _decode_blocks(
             jnp.asarray(c0),
             jnp.asarray(bm),
-            jnp.asarray(t1lo),
-            jnp.asarray(t1hi),
-            jnp.asarray(t2lo),
-            jnp.asarray(t2hi),
+            jnp.asarray(tp_lo),
+            jnp.asarray(tp_hi),
             jnp.asarray(stream_rows.view(np.int32)),
             jnp.asarray(init),
             g_rows=g_rows,

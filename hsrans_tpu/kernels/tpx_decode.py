@@ -140,10 +140,17 @@ def _tile_kernel(
         # the mask 0xFFFFFFFE, which is exactly bits 1..31
         m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
         rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
-        v1 = gather256(t1a, t1b, rank)
-        sym = v1 & 0xFF
-        freq = pltpu.bitcast(v1 >> 8, jnp.uint32)
-        cum = pltpu.bitcast(gather256(t2a, t2b, rank), jnp.uint32)
+        if bits <= 12:
+            # packed rank table: sym | (freq-1)<<8 | cumul<<20 (one gather)
+            v1 = pltpu.bitcast(gather256(t1a, t1b, rank), jnp.uint32)
+            sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
+            freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
+            cum = v1 >> jnp.uint32(20)
+        else:
+            v1 = gather256(t1a, t1b, rank)
+            sym = v1 & 0xFF
+            freq = pltpu.bitcast(v1 >> 8, jnp.uint32)
+            cum = pltpu.bitcast(gather256(t2a, t2b, rank), jnp.uint32)
 
         valid = (base_pos + i) < vlen
         new_states = (states >> jnp.uint32(bits)) * freq + slot - cum
@@ -215,6 +222,33 @@ def _decode_mega(vlen, c0, bm, t1a, t1b, t2a, t2b, stream, init_states, *, rows,
     return out
 
 
+def mega_dec_tables(freqs: np.ndarray, bits: int) -> tuple[np.ndarray, ...] | None:
+    """Per-tile kernel decode tables from wire freqs [n_tiles, 256].
+
+    Returns (c0, bm, ta, tb, tc, td), each [n_tiles, 8, 128] i32.  For
+    B<=12, ta/tb hold the packed single-u32 rank table and tc/td are unused
+    zeros; for B>=13, (ta,tb)=(t1 lo,hi) and (tc,td)=(t2 lo,hi).
+    """
+    n_tiles = freqs.shape[0]
+    n_buckets = (1 << bits) // 32
+    out = [np.zeros((n_tiles, 8, 128), np.int32) for _ in range(6)]
+    c0, bm, ta, tb, tc, td = out
+    for t in range(n_tiles):
+        hist = complete_hist(freqs[t], bits)
+        if hist is None:
+            return None
+        rt = make_rank_tables(hist)
+        c0[t].reshape(-1)[:n_buckets] = rt["c0"]
+        bm[t].reshape(-1)[:n_buckets] = rt["bm"]
+        key = "tp" if bits <= 12 else "t1"
+        ta[t, 0] = rt[key][:128]
+        tb[t, 0] = rt[key][128:]
+        if bits > 12:
+            tc[t, 0] = rt["t2"][:128]
+            td[t, 0] = rt["t2"][128:]
+    return tuple(out)
+
+
 def tpx_decode_tpu(blob: bytes | np.ndarray, interpret: bool = False) -> bytes | None:
     """Decode a tpx blob with the Pallas kernel (interpret=True for CPU CI)."""
     parsed = tpx_parse(blob)
@@ -230,34 +264,14 @@ def tpx_decode_tpu(blob: bytes | np.ndarray, interpret: bool = False) -> bytes |
 
     for mega in megas:
         n_tiles = mega.n_tiles
-        c0 = np.zeros((n_tiles, 8, 128), np.int32)
-        bm = np.zeros((n_tiles, 8, 128), np.int32)
-        t1 = np.zeros((n_tiles, 256), np.int32)
-        t2 = np.zeros((n_tiles, 256), np.int32)
-        for t in range(n_tiles):
-            hist = complete_hist(mega.freqs[t], p.bits)
-            if hist is None:
-                return None
-            rt = make_rank_tables(hist)
-            c0[t].reshape(-1)[:n_buckets] = rt["c0"]
-            bm[t].reshape(-1)[:n_buckets] = rt["bm"]
-            t1[t] = rt["t1"]
-            t2[t] = rt["t2"]
-
-        def pad8(a):
-            o = np.zeros((a.shape[0], 8, 128), np.int32)
-            o[:, 0, :] = a
-            return jnp.asarray(o)
+        tabs = mega_dec_tables(mega.freqs, p.bits)
+        if tabs is None:
+            return None
 
         vlen = np.array([[min(length - mega.base, p.rows * n_tiles * p.steps * L)]], np.int32)
         packed = _decode_mega(
             jnp.asarray(vlen),
-            jnp.asarray(c0),
-            jnp.asarray(bm),
-            pad8(t1[:, :128]),
-            pad8(t1[:, 128:]),
-            pad8(t2[:, :128]),
-            pad8(t2[:, 128:]),
+            *[jnp.asarray(t) for t in tabs],
             jnp.asarray(mega.stream.view(np.int32)),
             jnp.asarray(mega.states),
             rows=p.rows,

@@ -123,7 +123,19 @@ def make_rank_tables(hist: Hist) -> dict[str, np.ndarray]:
     t2 = np.zeros(256, dtype=np.uint32)
     t1[: present.size] = present.astype(np.uint32) | (hist.symbol_count[present].astype(np.uint32) << np.uint32(8))
     t2[: present.size] = hist.cumul[present].astype(np.uint32)
-    return {"c0": c0, "bm": bm.view(np.int32), "t1": t1.view(np.int32), "t2": t2.view(np.int32)}
+    out = {"c0": c0, "bm": bm.view(np.int32), "t1": t1.view(np.int32), "t2": t2.view(np.int32)}
+    if hist.total_symbol_count_bits <= 12:
+        # single-u32 rank table (the TPU-shaped hist_dec_pack_t,
+        # hist.cpp:291-306): sym | (freq-1)<<8 | cumul<<20 — freq-1 keeps
+        # the full-table single-symbol case (freq = 2^12) in 12 bits
+        tp = np.zeros(256, dtype=np.uint32)
+        tp[: present.size] = (
+            present.astype(np.uint32)
+            | ((hist.symbol_count[present].astype(np.uint32) - np.uint32(1)) << np.uint32(8))
+            | (hist.cumul[present].astype(np.uint32) << np.uint32(20))
+        )
+        out["tp"] = tp.view(np.int32)
+    return out
 
 
 def _mega_layout(length: int, p: TpxParams) -> list[tuple[int, int, int]]:

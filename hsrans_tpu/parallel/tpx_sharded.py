@@ -27,11 +27,9 @@ import numpy as np
 
 from ..kernels import tpx_decode as KD
 from ..kernels import tpx_encode as KE
-from ..models.histogram import complete_hist
 from ..ops.tpx import (
     TpxParams,
     _write_mega,
-    make_rank_tables,
     make_tile_hist,
     tpx_header,
     tpx_parse,
@@ -93,7 +91,6 @@ def tpx_decode_device(
     rest = [m for m in megas if m.n_tiles != p.tiles]
 
     if full:
-        n_buckets = (1 << p.bits) // 32
         M = -(-len(full) // n_dev) * n_dev
         T = p.tiles
         w_max = max(m.w_slots for m in full)
@@ -108,17 +105,10 @@ def tpx_decode_device(
         states = np.full((M, p.rows, p.lanes), 1 << 15, np.uint32)
         for i, m in enumerate(full):
             vlens[i, 0, 0] = min(length - m.base, p.rows * T * p.steps * p.lanes)
-            for t in range(T):
-                hist = complete_hist(m.freqs[t], p.bits)
-                if hist is None:
-                    return None
-                rt = make_rank_tables(hist)
-                c0[i, t].reshape(-1)[:n_buckets] = rt["c0"]
-                bm[i, t].reshape(-1)[:n_buckets] = rt["bm"]
-                t1a[i, t, 0] = rt["t1"][:128]
-                t1b[i, t, 0] = rt["t1"][128:]
-                t2a[i, t, 0] = rt["t2"][:128]
-                t2b[i, t, 0] = rt["t2"][128:]
+            tabs = KD.mega_dec_tables(m.freqs, p.bits)
+            if tabs is None:
+                return None
+            c0[i], bm[i], t1a[i], t1b[i], t2a[i], t2b[i] = tabs
             stream[i, :, :, : m.w_slots] = m.stream.view(np.int32)
             states[i] = m.states
         # dummy pad megas keep freq tables invalid-but-harmless (vlen = 0)
