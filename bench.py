@@ -100,8 +100,8 @@ def main() -> None:
     np.asarray(f_lo(*dev))
     np.asarray(f_hi(*dev))  # compile + warm both
 
-    t_lo = min(_timed(f_lo, dev) for _ in range(3))
-    t_hi = min(_timed(f_hi, dev) for _ in range(3))
+    t_lo = min(_timed(f_lo, dev) for _ in range(5))
+    t_hi = min(_timed(f_hi, dev) for _ in range(5))
     per_pass = (t_hi - t_lo) / (hi_n - lo_n)
     mib_s = size / (1 << 20) / per_pass
     print(
@@ -177,8 +177,8 @@ def _bench_encode(data: "np.ndarray", p) -> None:
     f_lo, f_hi = many(1), many(9)
     np.asarray(f_lo(packed))
     np.asarray(f_hi(packed))
-    t_lo = min(_timed(f_lo, [packed]) for _ in range(3))
-    t_hi = min(_timed(f_hi, [packed]) for _ in range(3))
+    t_lo = min(_timed(f_lo, [packed]) for _ in range(5))
+    t_hi = min(_timed(f_hi, [packed]) for _ in range(5))
     per = (t_hi - t_lo) / 8
     enc_mib_s = p.mega_bytes / (1 << 20) / per
     print(

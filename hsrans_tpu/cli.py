@@ -75,6 +75,17 @@ def _build_codecs(args) -> list[dict]:
                     (lambda b, n=n: lambda c: mt.mt_decode(c, b, n))(bits),
                     bits,
                 )
+            if args["backend"] != "numpy" and bits <= 12:
+                from .kernels.mt64_decode import mt64_decode_tpu
+                from .kernels.mt64_encode import mt64_encode_tpu
+
+                interp = args["backend"] == "interpret"
+                add(
+                    "mt rANS32x64 16w dev",
+                    (lambda b, it=interp: lambda d: mt64_encode_tpu(d, b, interpret=it))(bits),
+                    (lambda b, it=interp: lambda c: mt64_decode_tpu(c, b, interpret=it))(bits),
+                    bits,
+                )
         if args["tpx"]:
             if args["backend"] == "numpy":
                 enc = (lambda b: lambda d: tpx_encode(d, b))(bits)

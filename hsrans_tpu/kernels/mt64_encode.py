@@ -105,10 +105,16 @@ def _mt64_enc_kernel(
         byte = pltpu.bitcast((pltpu.bitcast(word32, jnp.uint32) >> byte_shift) & jnp.uint32(0xFF), jnp.int32)
 
         fcv = pltpu.bitcast(gather256(fc_lo, fc_hi, byte), jnp.uint32)
-        freq = fcv & mask16
-        cum = fcv >> jnp.uint32(16)
         mv = pltpu.bitcast(gather256(m_lo, m_hi, byte), jnp.uint32)
-        lv = pltpu.bitcast(gather256(l_lo, l_hi, byte), jnp.uint32)
+        if bits <= 12:
+            # packed: freq(13) | cumul<<13 | shift<<25 — one gather
+            freq = fcv & jnp.uint32(0x1FFF)
+            cum = (fcv >> jnp.uint32(13)) & jnp.uint32(0xFFF)
+            lv = fcv >> jnp.uint32(25)
+        else:
+            freq = fcv & mask16
+            cum = fcv >> jnp.uint32(16)
+            lv = pltpu.bitcast(gather256(l_lo, l_hi, byte), jnp.uint32)
 
         emit = (states >= emit_point * freq) & active
         word = pltpu.bitcast(states & mask16, jnp.int32)
@@ -221,7 +227,7 @@ def mt64_encode_tpu(
         else:
             freqs, cumuls = nb_hists
 
-        et = make_enc_tables_batch(freqs, cumuls)
+        et = make_enc_tables_batch(freqs, cumuls, bits)
         fc_lo = np.zeros((nb_pad, 128), np.int32)
         fc_hi = np.zeros((nb_pad, 128), np.int32)
         m_lo = np.full((nb_pad, 128), np.int32(-(1 << 31)))  # d=1 magic for pads

@@ -65,22 +65,33 @@ def div_magic(freq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def make_enc_tables(hist: Hist) -> dict[str, np.ndarray]:
-    """Symbol-indexed encode tables: fc = freq | cumul<<16, magic m, shift l."""
-    freq = hist.symbol_count.astype(np.uint32)
-    fc = freq | (hist.cumul.astype(np.uint32) << np.uint32(16))
-    m, l = div_magic(hist.symbol_count)
-    return {"fc": fc.view(np.int32), "m": m.view(np.int32), "l": l.view(np.int32)}
+    """Symbol-indexed encode tables (single-histogram convenience)."""
+    t = make_enc_tables_batch(
+        hist.symbol_count[None], hist.cumul[None], hist.total_symbol_count_bits
+    )
+    return {k: v[0] for k, v in t.items()}
 
 
-def make_enc_tables_batch(freqs: np.ndarray, cumuls: np.ndarray) -> dict[str, np.ndarray]:
-    """Vectorized make_enc_tables over a block batch: [B, 256] inputs."""
-    f32 = freqs.astype(np.uint32)
-    fc = f32 | (cumuls.astype(np.uint32) << np.uint32(16))
+def make_enc_tables_batch(freqs: np.ndarray, cumuls: np.ndarray, bits: int) -> dict[str, np.ndarray]:
+    """Vectorized symbol-indexed encode tables over a block batch [B, 256].
+
+    fc layout by depth: B<=12 packs freq(13) | cumul<<13 (12) | shift<<25
+    into one u32 (one gather in the kernels); B>=13 uses
+    freq | cumul<<16 plus the separate shift table l.
+    """
     d = np.maximum(freqs.astype(np.int64), 1)
     l = np.zeros_like(d)
     for k in range(16):
         l = np.where(d > (1 << k), k + 1, l)
     m = -(-(np.int64(1) << (31 + l)) // d)
+    if bits <= 12:
+        fc = (
+            freqs.astype(np.uint32)
+            | (cumuls.astype(np.uint32) << np.uint32(13))
+            | (l.astype(np.uint32) << np.uint32(25))
+        )
+    else:
+        fc = freqs.astype(np.uint32) | (cumuls.astype(np.uint32) << np.uint32(16))
     return {
         "fc": fc.view(np.int32),
         "m": m.astype(np.uint32).view(np.int32),
@@ -149,10 +160,16 @@ def _encode_kernel(
     for i in range(3, -1, -1):  # steps run backward within the group
         byte = (packed >> (8 * i)) & 0xFF
         fcv = pltpu.bitcast(gather256(fc_lo, fc_hi, byte), jnp.uint32)
-        freq = fcv & mask16
-        cum = fcv >> jnp.uint32(16)
         mv = pltpu.bitcast(gather256(m_lo, m_hi, byte), jnp.uint32)
-        lv = pltpu.bitcast(gather256(l_lo, l_hi, byte), jnp.uint32)
+        if bits <= 12:
+            # packed: freq(13) | cumul<<13 | shift<<25 — one gather
+            freq = fcv & jnp.uint32(0x1FFF)
+            cum = (fcv >> jnp.uint32(13)) & jnp.uint32(0xFFF)
+            lv = fcv >> jnp.uint32(25)
+        else:
+            freq = fcv & mask16
+            cum = fcv >> jnp.uint32(16)
+            lv = pltpu.bitcast(gather256(l_lo, l_hi, byte), jnp.uint32)
 
         valid = (base_pos + i) < vlen
         emit = (states >= emit_point * freq) & valid

@@ -38,11 +38,17 @@ def test_div_magic_exact():
 
 
 def test_enc_tables_pack():
-    h = make_hist(np.arange(256, dtype=np.uint8).repeat(7), 12)
-    t = make_enc_tables(h)
+    h12 = make_hist(np.arange(256, dtype=np.uint8).repeat(7), 12)
+    t = make_enc_tables(h12)
     fc = t["fc"].view(np.uint32)
-    assert np.array_equal(fc & 0xFFFF, h.symbol_count.astype(np.uint32))
-    assert np.array_equal(fc >> 16, h.cumul.astype(np.uint32))
+    assert np.array_equal(fc & 0x1FFF, h12.symbol_count.astype(np.uint32))
+    assert np.array_equal((fc >> 13) & 0xFFF, h12.cumul.astype(np.uint32))
+    assert np.array_equal(fc >> 25, t["l"].astype(np.uint32))
+    h15 = make_hist(np.arange(256, dtype=np.uint8).repeat(7), 15)
+    t = make_enc_tables(h15)
+    fc = t["fc"].view(np.uint32)
+    assert np.array_equal(fc & 0xFFFF, h15.symbol_count.astype(np.uint32))
+    assert np.array_equal(fc >> 16, h15.cumul.astype(np.uint32))
 
 
 @pytest.mark.parametrize(
