@@ -80,10 +80,15 @@ def _build_codecs(args) -> list[dict]:
                 from .kernels.mt64_encode import mt64_encode_tpu
 
                 interp = args["backend"] == "interpret"
+                def _mt_dev_dec(c, b=bits, it=interp):
+                    out = mt64_decode_tpu(c, b, interpret=it)
+                    # out-of-kernel-scope blobs fall back to the oracle
+                    return out if out is not None else mt.mt_decode(c, b, 64)
+
                 add(
                     "mt rANS32x64 16w dev",
                     (lambda b, it=interp: lambda d: mt64_encode_tpu(d, b, interpret=it))(bits),
-                    (lambda b, it=interp: lambda c: mt64_decode_tpu(c, b, interpret=it))(bits),
+                    _mt_dev_dec,
                     bits,
                 )
         if args["tpx"]:

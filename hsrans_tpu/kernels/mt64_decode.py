@@ -39,6 +39,7 @@ from ..models.histogram import complete_hist
 from ..ops.mt import block_index
 from ..ops.tpx import make_rank_tables
 from ..rans import DECODE_CONSUME_POINT_16, INV_IDX2IDX
+from .tpx_encode import gather256
 
 N = 64  # rANS lanes per block (x64 family)
 L = 128  # vector lanes per row
@@ -97,11 +98,6 @@ def _mt64_kernel(
     # pack_idx[b][.., l] = rANS lane supplying wire byte 4*(l&15)+b
     pack_idx = [_inv_idx2idx64((4 * (lane & 15) + b) & (N - 1)) for b in range(4)]
     step_of_lane = lane >> 4  # which step's u32s live in this lane group
-
-    def gather256(lo, hi, rank):
-        g_lo = jnp.take_along_axis(lo, jnp.minimum(rank, 127), axis=1)
-        g_hi = jnp.take_along_axis(hi, jnp.maximum(rank - 128, 0), axis=1)
-        return jnp.where(rank < 128, g_lo, g_hi)
 
     def step_fn(i, carry):
         states, rw, packed = carry

@@ -38,7 +38,7 @@ from ..ops.planner import BlockPlan
 from ..ops.reference import encode_groups
 from ..ops.tpx import make_tile_hist
 from ..rans import DECODE_CONSUME_POINT_16
-from .tpx_encode import _concat_mega, make_enc_tables_batch
+from .tpx_encode import _concat_mega, gather256, make_enc_tables_batch, unpack_enc_fields
 
 N = 64
 L = 128
@@ -76,11 +76,6 @@ def _mt64_enc_kernel(
     m_lo, m_hi = m_lo_ref[:], m_hi_ref[:]
     l_lo, l_hi = l_lo_ref[:], l_hi_ref[:]
 
-    def gather256(lo, hi, idx):
-        g_lo = jnp.take_along_axis(lo, jnp.minimum(idx, 127), axis=1)
-        g_hi = jnp.take_along_axis(hi, jnp.maximum(idx - 128, 0), axis=1)
-        return jnp.where(idx < 128, g_lo, g_hi)
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
     active = lane < N
     # inclusive lower-triangular over the 64 active lanes only
@@ -106,15 +101,7 @@ def _mt64_enc_kernel(
 
         fcv = pltpu.bitcast(gather256(fc_lo, fc_hi, byte), jnp.uint32)
         mv = pltpu.bitcast(gather256(m_lo, m_hi, byte), jnp.uint32)
-        if bits <= 12:
-            # packed: freq(13) | cumul<<13 | shift<<25 — one gather
-            freq = fcv & jnp.uint32(0x1FFF)
-            cum = (fcv >> jnp.uint32(13)) & jnp.uint32(0xFFF)
-            lv = fcv >> jnp.uint32(25)
-        else:
-            freq = fcv & mask16
-            cum = fcv >> jnp.uint32(16)
-            lv = pltpu.bitcast(gather256(l_lo, l_hi, byte), jnp.uint32)
+        freq, cum, lv = unpack_enc_fields(fcv, l_lo, l_hi, byte, bits)
 
         emit = (states >= emit_point * freq) & active
         word = pltpu.bitcast(states & mask16, jnp.int32)
@@ -236,7 +223,8 @@ def mt64_encode_tpu(
         l_hi = np.zeros((nb_pad, 128), np.int32)
         fc_lo[:nb], fc_hi[:nb] = et["fc"][:, :128], et["fc"][:, 128:]
         m_lo[:nb], m_hi[:nb] = et["m"][:, :128], et["m"][:, 128:]
-        l_lo[:nb], l_hi[:nb] = et["l"][:, :128], et["l"][:, 128:]
+        if bits > 12:  # for B<=12 the shift lives inside fc
+            l_lo[:nb], l_hi[:nb] = et["l"][:, :128], et["l"][:, 128:]
 
         packed = np.zeros((nb_pad, s8c * 128), np.int32)
         packed[:nb] = arr[: nb * block_size].view("<i4").reshape(nb, s8c * 128)

@@ -84,12 +84,14 @@ def make_enc_tables_batch(freqs: np.ndarray, cumuls: np.ndarray, bits: int) -> d
     for k in range(16):
         l = np.where(d > (1 << k), k + 1, l)
     m = -(-(np.int64(1) << (31 + l)) // d)
+    assert int(m.max()) < 1 << 32 and int(m.min()) >= 1 << 31  # q31 invariant
     if bits <= 12:
-        fc = (
-            freqs.astype(np.uint32)
-            | (cumuls.astype(np.uint32) << np.uint32(13))
-            | (l.astype(np.uint32) << np.uint32(25))
-        )
+        # absent symbols (freq 0) can carry cumul == 2^bits, which would
+        # overflow the 12-bit field into the shift; they are never gathered
+        # by an unmasked lane, so zero their freq/cumul fields entirely
+        cum_field = np.where(freqs > 0, cumuls.astype(np.uint32), np.uint32(0))
+        frq_field = freqs.astype(np.uint32)
+        fc = frq_field | (cum_field << np.uint32(13)) | (l.astype(np.uint32) << np.uint32(25))
     else:
         fc = freqs.astype(np.uint32) | (cumuls.astype(np.uint32) << np.uint32(16))
     return {
@@ -97,6 +99,30 @@ def make_enc_tables_batch(freqs: np.ndarray, cumuls: np.ndarray, bits: int) -> d
         "m": m.astype(np.uint32).view(np.int32),
         "l": l.astype(np.int32),
     }
+
+
+def gather256(lo, hi, idx):
+    """Per-row 256-entry lookup from two [.., 128] chunk operands."""
+    g_lo = jnp.take_along_axis(lo, jnp.minimum(idx, 127), axis=1)
+    g_hi = jnp.take_along_axis(hi, jnp.maximum(idx - 128, 0), axis=1)
+    return jnp.where(idx < 128, g_lo, g_hi)
+
+
+def unpack_enc_fields(fcv, l_lo, l_hi, byte, bits):
+    """(freq, cumul, shift) from the depth-dependent fc layout.
+
+    Must mirror make_enc_tables_batch: B<=12 packs all three into fcv
+    (freq 13b | cumul 12b | shift); B>=13 keeps the separate shift table.
+    """
+    if bits <= 12:
+        freq = fcv & jnp.uint32(0x1FFF)
+        cum = (fcv >> jnp.uint32(13)) & jnp.uint32(0xFFF)
+        lv = fcv >> jnp.uint32(25)
+    else:
+        freq = fcv & jnp.uint32(0xFFFF)
+        cum = fcv >> jnp.uint32(16)
+        lv = pltpu.bitcast(gather256(l_lo, l_hi, byte), jnp.uint32)
+    return freq, cum, lv
 
 
 def _encode_kernel(
@@ -134,11 +160,6 @@ def _encode_kernel(
     m_lo, m_hi = bcast(m_lo_ref), bcast(m_hi_ref)
     l_lo, l_hi = bcast(l_lo_ref), bcast(l_hi_ref)
 
-    def gather256(lo, hi, idx):
-        g_lo = jnp.take_along_axis(lo, jnp.minimum(idx, 127), axis=1)
-        g_hi = jnp.take_along_axis(hi, jnp.maximum(idx - 128, 0), axis=1)
-        return jnp.where(idx < 128, g_lo, g_hi)
-
     # inclusive lower-triangular ones: (emit @ tri)[l] = sum_{j<=l} emit[j]
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
@@ -161,15 +182,7 @@ def _encode_kernel(
         byte = (packed >> (8 * i)) & 0xFF
         fcv = pltpu.bitcast(gather256(fc_lo, fc_hi, byte), jnp.uint32)
         mv = pltpu.bitcast(gather256(m_lo, m_hi, byte), jnp.uint32)
-        if bits <= 12:
-            # packed: freq(13) | cumul<<13 | shift<<25 — one gather
-            freq = fcv & jnp.uint32(0x1FFF)
-            cum = (fcv >> jnp.uint32(13)) & jnp.uint32(0xFFF)
-            lv = fcv >> jnp.uint32(25)
-        else:
-            freq = fcv & mask16
-            cum = fcv >> jnp.uint32(16)
-            lv = pltpu.bitcast(gather256(l_lo, l_hi, byte), jnp.uint32)
+        freq, cum, lv = unpack_enc_fields(fcv, l_lo, l_hi, byte, bits)
 
         valid = (base_pos + i) < vlen
         emit = (states >= emit_point * freq) & valid
@@ -364,7 +377,10 @@ def tpx_encode_tpu(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None
 
         fc_lo, fc_hi = pack_tab("fc")
         m_lo, m_hi = pack_tab("m")
-        l_lo, l_hi = pack_tab("l")
+        if bits <= 12:  # shift lives inside fc; don't build/ship dead tables
+            l_lo = l_hi = jnp.zeros((n_tiles, 8, 128), jnp.int32)
+        else:
+            l_lo, l_hi = pack_tab("l")
         vlen = jnp.asarray(np.array([[n_valid]], np.int32))
 
         win, cntp, states = _encode_mega(

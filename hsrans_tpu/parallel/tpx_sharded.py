@@ -219,7 +219,8 @@ def tpx_encode_device(
             all_hists.append(hists)
             for t in range(T):
                 et = KE.make_enc_tables(hists[t])
-                for j, key in enumerate(("fc", "m", "l")):
+                keys = ("fc", "m") if bits <= 12 else ("fc", "m", "l")
+                for j, key in enumerate(keys):
                     tabs[i, 2 * j, t, 0] = et[key][:128]
                     tabs[i, 2 * j + 1, t, 0] = et[key][128:]
         wq = np.full((M, 1, 1), wcap // 128, np.int32)
