@@ -82,6 +82,21 @@ def _mt64_kernel(
     consume_point = jnp.uint32(DECODE_CONSUME_POINT_16)
     w_slots = stream_ref.shape[-1]
 
+    # Per-invocation sliding stream window: 8 steps consume <= 8*64 words
+    # = 256 slots per row, so a 3-chunk (384-slot) window starting at the
+    # row's current chunk covers the whole invocation.  Building it is
+    # per-row chunk SELECTION over static slices (cheap vector selects, no
+    # gathers), turning the per-step fetch into a 3-candidate gather
+    # instead of w_slots/128 candidates (21 at 16 KiB blocks).
+    rw_entry = rw_scr[:, 0:1]
+    win_chunk0 = (rw_entry >> 1) >> 7  # [G, 1] chunk-aligned window base
+    window = []
+    for h in range(3):
+        wh = jnp.zeros((g_rows, 128), jnp.int32)
+        for c in range(w_slots // 128):
+            wh = jnp.where(win_chunk0 + h == c, stream_ref[:, c * 128 : (c + 1) * 128], wh)
+        window.append(wh)
+
     c0 = c0_ref[:]
     bm = pltpu.bitcast(bm_ref[:], jnp.uint32)
     tp_lo, tp_hi = tp_lo_ref[:], tp_hi_ref[:]
@@ -121,13 +136,13 @@ def _mt64_kernel(
         total = prefix[:, N - 1 : N] + consume[:, N - 1 : N].astype(jnp.int32)
 
         widx = rw + prefix
-        slotidx = widx >> 1
-        within = slotidx & 127
-        chunk = slotidx >> 7
+        rel = (widx >> 1) - (win_chunk0 << 7)  # slot index within the window
+        within = rel & 127
+        chunk = rel >> 7  # 0..2 by the window invariant
         w32 = jnp.zeros((g_rows, L), jnp.int32)
-        for c in range(w_slots // 128):
-            cand = jnp.take_along_axis(stream_ref[:, c * 128 : (c + 1) * 128], within, axis=1)
-            w32 = jnp.where(chunk == c, cand, w32)
+        for h in range(3):
+            cand = jnp.take_along_axis(window[h], within, axis=1)
+            w32 = jnp.where(chunk == h, cand, w32)
         word = (pltpu.bitcast(w32, jnp.uint32) >> pltpu.bitcast((widx & 1) << 4, jnp.uint32)) & jnp.uint32(0xFFFF)
         states = jnp.where(consume, (new_states << jnp.uint32(16)) | word, new_states)
         rw = rw + total
