@@ -95,13 +95,13 @@ def main() -> None:
             return jax.lax.fori_loop(0, n, body, jnp.zeros((p.rows, p.lanes), jnp.uint32))
         return fn
 
-    lo_n, hi_n = 1, 9
+    lo_n, hi_n = 1, 17
     f_lo, f_hi = many(lo_n), many(hi_n)
     np.asarray(f_lo(*dev))
     np.asarray(f_hi(*dev))  # compile + warm both
 
-    t_lo = min(_timed(f_lo, dev) for _ in range(5))
-    t_hi = min(_timed(f_hi, dev) for _ in range(5))
+    t_lo = min(_timed(f_lo, dev) for _ in range(7))
+    t_hi = min(_timed(f_hi, dev) for _ in range(7))
     per_pass = (t_hi - t_lo) / (hi_n - lo_n)
     mib_s = size / (1 << 20) / per_pass
     print(

@@ -105,6 +105,19 @@ def _tile_kernel(
         g_hi = jnp.take_along_axis(hi, jnp.maximum(rank - 128, 0), axis=1)
         return jnp.where(rank < 128, g_lo, g_hi)
 
+    # per-invocation sliding stream window (docs/KERNEL_NOTES.md): 4 steps
+    # consume <= 4*128 words = 256 slots per row, so a 3-chunk window built
+    # by per-row chunk *selection* (static slices, no gathers) replaces the
+    # per-step w_slots/128-candidate gather loop with 3 candidates
+    rw_entry = rw_scr[:, 0:1]
+    win_chunk0 = (rw_entry >> 1) >> 7
+    window = []
+    for h in range(3):
+        wh = jnp.zeros((rows, 128), jnp.int32)
+        for c in range(w_slots // 128):
+            wh = jnp.where(win_chunk0 + h == c, stream_scr[:, c * 128 : (c + 1) * 128], wh)
+        window.append(wh)
+
     def step_fn(i, carry):
         states, rw, packed = carry
         slot = states & mask_slot
@@ -162,13 +175,13 @@ def _tile_kernel(
         total = prefix[:, L - 1 :] + consume[:, L - 1 :].astype(jnp.int32)
 
         widx = rw + prefix
-        slotidx = widx >> 1
-        within = slotidx & 127
-        chunk = slotidx >> 7
+        rel = (widx >> 1) - (win_chunk0 << 7)  # slot index within the window
+        within = rel & 127
+        chunk = rel >> 7  # 0..2 by the window invariant
         w32 = jnp.zeros((rows, L), jnp.int32)
-        for c in range(w_slots // 128):
-            cand = jnp.take_along_axis(stream_scr[:, c * 128 : (c + 1) * 128], within, axis=1)
-            w32 = jnp.where(chunk == c, cand, w32)
+        for h in range(3):
+            cand = jnp.take_along_axis(window[h], within, axis=1)
+            w32 = jnp.where(chunk == h, cand, w32)
         word = (pltpu.bitcast(w32, jnp.uint32) >> pltpu.bitcast((widx & 1) << 4, jnp.uint32)) & jnp.uint32(0xFFFF)
         states = jnp.where(consume, (new_states << jnp.uint32(16)) | word, new_states)
         rw = rw + total
