@@ -183,12 +183,21 @@ def _decode_blocks(c0, bm, tp_lo, tp_hi, stream, init, *, g_rows, n_groups, s8c,
     )(c0, bm, tp_lo, tp_hi, stream, init)
 
 
-def mt64_decode_tpu(blob: bytes | np.ndarray, bits: int, interpret: bool = False) -> bytes | None:
+def mt64_decode_tpu(
+    blob: bytes | np.ndarray,
+    bits: int,
+    interpret: bool = False,
+    mesh=None,
+    axis: str = "dp",
+) -> bytes | None:
     """Decode an mt_rANS32x64 16w blob with uniform blocks on the TPU.
 
-    Returns None when the blob's layout is outside the kernel's scope
-    (non-uniform coded blocks, B > 12, tiny inputs) — callers fall back to
-    ops.mt.mt_decode / parallel.sharded paths.
+    With `mesh`, the block batch is sharded over the mesh axis via
+    shard_map (the reference thread-pool fan-out mapped to chips; outputs
+    gather in order at the shard_map boundary).  Returns None when the
+    blob's layout is outside the kernel's scope (non-uniform coded blocks,
+    B > 12, tiny inputs) — callers fall back to ops.mt.mt_decode /
+    parallel.sharded paths.
     """
     if bits > 12:
         return None
@@ -227,10 +236,12 @@ def mt64_decode_tpu(blob: bytes | np.ndarray, bits: int, interpret: bool = False
             return None  # stream tile would not fit VMEM comfortably
 
         nb = len(kernel_blocks)
+        n_dev = mesh.shape[axis] if mesh is not None else 1
         # keep the double-buffered stream tile inside VMEM
         g_cap = 256 if w_slots <= 1536 else 128
-        g_rows = g_cap if nb >= g_cap else max(8, -(-nb // 8) * 8)
-        nb_pad = -(-nb // g_rows) * g_rows
+        per_dev = -(-nb // n_dev)
+        g_rows = g_cap if per_dev >= g_cap else max(8, -(-per_dev // 8) * 8)
+        nb_pad = -(-nb // (g_rows * n_dev)) * g_rows * n_dev
         s8c = size0 // N // 8
 
         c0 = np.zeros((nb_pad, 128), np.int32)
@@ -255,20 +266,28 @@ def mt64_decode_tpu(blob: bytes | np.ndarray, bits: int, interpret: bool = False
             stream_rows[i, : words.size // 2] = words[0::2] | (words[1::2] << np.uint32(16))
             init[i, :N] = b.states
 
-        packed = _decode_blocks(
+        args = [
             jnp.asarray(c0),
             jnp.asarray(bm),
             jnp.asarray(tp_lo),
             jnp.asarray(tp_hi),
             jnp.asarray(stream_rows.view(np.int32)),
             jnp.asarray(init),
-            g_rows=g_rows,
-            n_groups=nb_pad // g_rows,
-            s8c=s8c,
-            w_slots=w_slots,
-            bits=bits,
-            interpret=interpret,
-        )
+        ]
+        kw = dict(g_rows=g_rows, n_groups=nb_pad // g_rows // n_dev, s8c=s8c, w_slots=w_slots, bits=bits, interpret=interpret)
+        if mesh is None:
+            packed = _decode_blocks(*args, **kw)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.shard_map(
+                lambda *a: _decode_blocks(*a, **kw),
+                mesh=mesh,
+                in_specs=(P(axis),) * 6,
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            packed = fn(*args)
         block_bytes = np.asarray(packed).view(np.uint8).reshape(nb_pad, size0)
 
     out = np.zeros(length, dtype=np.uint8)

@@ -111,13 +111,13 @@ def mt_decode_device(
     Single-device blobs with uniform blocks take the Pallas fast path
     (kernels/mt64_decode.py, ~7 GiB/s on v5e) before the generic scan.
     """
-    if mesh is None and n == 64 and bits <= 12:
+    if n == 64 and bits <= 12:
         from ..kernels.mt64_decode import mt64_decode_tpu
         from ..runtime.device import detect
 
         cap = detect()
         if cap.tier != "numpy":
-            fast = mt64_decode_tpu(blob, bits, interpret=cap.pallas_interpret)
+            fast = mt64_decode_tpu(blob, bits, interpret=cap.pallas_interpret, mesh=mesh, axis=axis)
             if fast is not None:
                 return fast
 

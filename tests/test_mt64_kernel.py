@@ -126,3 +126,20 @@ def test_reference_binary_decodes_our_uniform_blob(ref_mt_drive, tmp_path):
     got_n, got_h = r.stdout.split()
     assert int(got_n) == data.size
     assert got_h == f"{fnv1a(data.tobytes()):016x}"
+
+
+def test_mt64_kernel_sharded_mesh():
+    """Blocks sharded over the virtual mesh via shard_map around the kernel."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tools.gen_inputs import text_like
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = Mesh(np.array(devs).reshape(len(devs)), ("dp",))
+    rng = np.random.default_rng(15)
+    data = text_like(rng, 600_000)
+    blob = _blob(data, 4096)
+    assert mt64_decode_tpu(blob, 12, interpret=True, mesh=mesh) == data.tobytes()
