@@ -143,3 +143,15 @@ def test_mt64_kernel_sharded_mesh():
     data = text_like(rng, 600_000)
     blob = _blob(data, 4096)
     assert mt64_decode_tpu(blob, 12, interpret=True, mesh=mesh) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (10, 11))
+def test_mt64_kernel_low_bits(bits):
+    """B<12: rank buckets underfill the 128-lane table row."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(16)
+    data = text_like(rng, 150_000)
+    blob = _blob(data, 4096, bits=bits)
+    assert mt_decode(blob, bits, 64) == data.tobytes()
+    assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
