@@ -264,18 +264,32 @@ class TpxMega:
 
 
 def tpx_parse(blob: bytes | np.ndarray) -> tuple[TpxParams, int, list[TpxMega]] | None:
+    """Parse the container; None on malformed/truncated input (the
+    reference's defensive-header error model, e.g.
+    block_rANS32x64_16w_decode.cpp:15-32)."""
     buf = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, bytearray, memoryview)) else np.asarray(blob, dtype=np.uint8)
     if buf.size < 44 or buf[:8].tobytes() != MAGIC:
         return None
     length = int.from_bytes(buf[8:16].tobytes(), "little")
     bits, rows, lanes, steps, tiles = (int.from_bytes(buf[24 + 4 * i : 28 + 4 * i].tobytes(), "little") for i in range(5))
+    if not (10 <= bits <= 15) or rows < 1 or lanes < 1 or steps < 1 or tiles < 1:
+        return None
+    if steps % 4 or rows * lanes > (1 << 24) or steps * tiles > (1 << 20):
+        return None  # implausible header: refuse before allocating
     p = TpxParams(bits=bits, rows=rows, lanes=lanes, steps=steps, tiles=tiles)
     megas = []
     off = 44
     base = 0
     while base < length or (length == 0 and not megas):
+        if off + 8 > buf.size:
+            return None
         n_tiles = int.from_bytes(buf[off : off + 4].tobytes(), "little")
         w_slots = int.from_bytes(buf[off + 4 : off + 8].tobytes(), "little")
+        if n_tiles < 1 or n_tiles > tiles or w_slots < 1 or w_slots > steps * lanes:
+            return None
+        need = 4 * rows * lanes + n_tiles * (512 + 2 * rows) + 4 * n_tiles * rows * w_slots
+        if off + 8 + need > buf.size:
+            return None
         off += 8
         states = buf[off : off + 4 * rows * lanes].view("<u4").reshape(rows, lanes).astype(_U32)
         off += 4 * rows * lanes
@@ -365,7 +379,10 @@ def tpx_decode(blob: bytes | np.ndarray, use_rank_tables: bool = False) -> bytes
             .transpose(0, 3, 1, 4, 2)
             .reshape(-1)
         )
-        out[mega.base : mega.base + p.rows * row_span] = mega_out
+        span = min(p.rows * row_span, out.size - mega.base)
+        if span < 0:
+            return None  # inconsistent (corrupted) header geometry
+        out[mega.base : mega.base + span] = mega_out[:span]
     return out[:length].tobytes()
 
 
