@@ -335,8 +335,70 @@ def _unpack_counts(cntp, *, s4c):
     return jnp.concatenate([cnt, pad], axis=2)
 
 
-def tpx_encode_tpu(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = None, interpret: bool = False) -> bytes:
-    """Encode to the tpx format on the TPU; bit-identical to tpx_encode."""
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _device_tile_tables(counts, nbytes, *, bits):
+    """Fused on-device normalize -> encode tables for one tile's counts.
+
+    Runs models/jax_hist (bit-exact with the host normalizer) so the whole
+    per-tile model path stays on the chip; returns (freq u16[256],
+    fc/m/l table rows as [8,128]-shaped chunks ready for _encode_mega).
+    """
+    from ..models.jax_hist import normalize_device
+
+    freq, cumul = normalize_device(counts, nbytes, bits=bits)
+    f = freq.astype(jnp.int32)
+    d = jnp.maximum(f, 1).astype(jnp.uint32)
+    l = jnp.zeros(256, jnp.int32)
+    for k in range(16):
+        l = jnp.where(f > (1 << k), k + 1, l)
+    # m = ceil(2^(31+l) / d) without 64-bit ints (JAX x64 is off): the
+    # doubling recurrence  2^k = d*m - r, 0 <= r < d  ->
+    # m' = 2m - [2r >= d], r' = 2r mod d, run to k = 31+l per symbol.
+    m = jnp.ones(256, jnp.uint32)  # ceil(2^0/d), d >= 1
+    r = d - jnp.uint32(1)
+    kk = jnp.arange(1, 48)
+    target = (31 + l).astype(jnp.int32)
+    for k in range(1, 48):
+        active = k <= target
+        r2 = r + r
+        borrow = r2 >= d
+        m2 = m + m - borrow.astype(jnp.uint32)
+        r2 = jnp.where(borrow, r2 - d, r2)
+        m = jnp.where(active, m2, m)
+        r = jnp.where(active, r2, r)
+    del kk
+    if bits <= 12:
+        cum_field = jnp.where(f > 0, cumul.astype(jnp.uint32), jnp.uint32(0))
+        fc = f.astype(jnp.uint32) | (cum_field << jnp.uint32(13)) | (l.astype(jnp.uint32) << jnp.uint32(25))
+    else:
+        fc = f.astype(jnp.uint32) | (cumul.astype(jnp.uint32) << jnp.uint32(16))
+
+    def chunks(tab):
+        t = tab.astype(jnp.uint32).astype(jnp.int32) if tab.dtype != jnp.int32 else tab
+        z = jnp.zeros((8, 128), jnp.int32)
+        lo = z.at[0].set(t[:128])
+        hi = z.at[0].set(t[128:])
+        return lo, hi
+
+    fc_i = jax.lax.bitcast_convert_type(fc, jnp.int32)
+    m_i = jax.lax.bitcast_convert_type(m.astype(jnp.uint32), jnp.int32)
+    return freq, chunks(fc_i), chunks(m_i), chunks(l.astype(jnp.int32))
+
+
+def tpx_encode_tpu(
+    data: bytes | np.ndarray,
+    bits: int = 12,
+    p: TpxParams | None = None,
+    interpret: bool = False,
+    device_tables: bool = False,
+) -> bytes:
+    """Encode to the tpx format on the TPU; bit-identical to tpx_encode.
+
+    With `device_tables=True` the per-tile histograms, the exact
+    normalization to 2^B, and the encode tables are computed on the chip
+    (models/jax_hist) instead of the host — the fully fused pipeline; the
+    wire bytes are identical either way (the device normalizer is
+    bit-exact with the host one)."""
     p = p or TpxParams(bits=bits)
     bits = p.bits
     if p.lanes != L or p.steps % 4 or p.rows % 8:
@@ -361,26 +423,52 @@ def tpx_encode_tpu(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None
         # per-tile histograms: tile t's bytes are the contiguous wire range
         # [t*rows*steps*L, ...); absent trailing tiles get the 1-symbol hist.
         tile_bytes = p.rows * p.steps * L
-        hists = [
-            make_tile_hist(flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)], bits)
-            for t in range(n_tiles)
-        ]
+        if device_tables:
+            from ..models.jax_hist import observe_device
 
-        def pack_tab(key):
-            lo = np.zeros((n_tiles, 8, 128), np.int32)
-            hi = np.zeros((n_tiles, 8, 128), np.int32)
+            tile_freqs = []
+            per_tile = []
             for t in range(n_tiles):
-                tab = make_enc_tables(hists[t])[key]
-                lo[t, 0, :] = tab[:128]
-                hi[t, 0, :] = tab[128:]
-            return jnp.asarray(lo), jnp.asarray(hi)
-
-        fc_lo, fc_hi = pack_tab("fc")
-        m_lo, m_hi = pack_tab("m")
-        if bits <= 12:  # shift lives inside fc; don't build/ship dead tables
-            l_lo = l_hi = jnp.zeros((n_tiles, 8, 128), jnp.int32)
+                tb = flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)]
+                if tb.size:
+                    counts = observe_device(jnp.asarray(tb))
+                    nbytes = jnp.int32(tb.size)
+                else:
+                    counts = jnp.zeros(256, jnp.uint32).at[0].set(1)
+                    nbytes = jnp.int32(1)
+                per_tile.append(_device_tile_tables(counts, nbytes, bits=bits))
+            tile_freqs = [np.asarray(x[0]) for x in per_tile]
+            fc_lo = jnp.stack([x[1][0] for x in per_tile])
+            fc_hi = jnp.stack([x[1][1] for x in per_tile])
+            m_lo = jnp.stack([x[2][0] for x in per_tile])
+            m_hi = jnp.stack([x[2][1] for x in per_tile])
+            if bits <= 12:
+                l_lo = l_hi = jnp.zeros((n_tiles, 8, 128), jnp.int32)
+            else:
+                l_lo = jnp.stack([x[3][0] for x in per_tile])
+                l_hi = jnp.stack([x[3][1] for x in per_tile])
         else:
-            l_lo, l_hi = pack_tab("l")
+            hists = [
+                make_tile_hist(flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)], bits)
+                for t in range(n_tiles)
+            ]
+            tile_freqs = [h.symbol_count for h in hists]
+
+            def pack_tab(key):
+                lo = np.zeros((n_tiles, 8, 128), np.int32)
+                hi = np.zeros((n_tiles, 8, 128), np.int32)
+                for t in range(n_tiles):
+                    tab = make_enc_tables(hists[t])[key]
+                    lo[t, 0, :] = tab[:128]
+                    hi[t, 0, :] = tab[128:]
+                return jnp.asarray(lo), jnp.asarray(hi)
+
+            fc_lo, fc_hi = pack_tab("fc")
+            m_lo, m_hi = pack_tab("m")
+            if bits <= 12:  # shift lives inside fc; don't build/ship dead tables
+                l_lo = l_hi = jnp.zeros((n_tiles, 8, 128), jnp.int32)
+            else:
+                l_lo, l_hi = pack_tab("l")
         vlen = jnp.asarray(np.array([[n_valid]], np.int32))
 
         win, cntp, states = _encode_mega(
@@ -398,7 +486,7 @@ def tpx_encode_tpu(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None
             rows=p.rows, rc=rc, steps=p.steps, wcap=wcap, n_tiles=n_tiles, interpret=interpret,
         )
         stream = np.asarray(stream_full[:, :, :w_slots]).view(np.uint32)
-        _write_mega(out, n_tiles, w_slots, np.asarray(states), [h.symbol_count for h in hists], counts.astype(np.uint16), stream)
+        _write_mega(out, n_tiles, w_slots, np.asarray(states), tile_freqs, counts.astype(np.uint16), stream)
 
     out[16:24] = len(out).to_bytes(8, "little")
     return bytes(out)

@@ -80,3 +80,17 @@ def test_encode_kernel_interpret_rle_heavy():
     b = tpx_encode_tpu(data, p=SMALL, interpret=True)
     assert a == b
     assert tpx_decode(b) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (10, 12, 15))
+def test_encode_kernel_fused_device_tables(bits):
+    """Fully fused pipeline: hist + exact normalize + tables on device
+    (models/jax_hist) -> bit-identical wire bytes."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(17)
+    p = TpxParams(bits=bits, rows=8, lanes=128, steps=8, tiles=2)
+    data = text_like(rng, 2 * p.mega_bytes + 333)
+    a = tpx_encode(data, p=p)
+    b = tpx_encode_tpu(data, p=p, interpret=True, device_tables=True)
+    assert a == b
