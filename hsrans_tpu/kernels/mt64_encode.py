@@ -56,6 +56,8 @@ def _mt64_enc_kernel(
     m_hi_ref,
     l_lo_ref,  # VMEM [G, 128] i32 per-row: division shift
     l_hi_ref,
+    init_ref,  # VMEM [G, 128] u32: entry states (2^15 for the last segment;
+    #            a later segment's output when blocks span several calls)
     packed_ref,  # VMEM [G, 128] i32: 8 steps x 64 wire bytes of each block
     win_ref,  # out VMEM [8, G, 128] i32: per-step compacted words
     cnta_ref,  # out VMEM [1, G, 128] i32: counts of steps 0..3, 8b each
@@ -70,7 +72,7 @@ def _mt64_enc_kernel(
 
     @pl.when(s8i == 0)
     def _():
-        states_scr[:] = jnp.full((g_rows, L), DECODE_CONSUME_POINT_16, jnp.uint32)
+        states_scr[:] = init_ref[:]
 
     fc_lo, fc_hi = fc_lo_ref[:], fc_hi_ref[:]
     m_lo, m_hi = m_lo_ref[:], m_hi_ref[:]
@@ -144,14 +146,14 @@ def _mt64_enc_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s8c", "bits", "interpret"))
-def _encode_blocks(fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed, *, g_rows, n_groups, s8c, bits, interpret=False):
+def _encode_blocks(fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, init, packed, *, g_rows, n_groups, s8c, bits, interpret=False):
     kernel = functools.partial(_mt64_enc_kernel, g_rows=g_rows, bits=bits)
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s8: (g, 0), memory_space=pltpu.VMEM)
     nb = n_groups * g_rows
     return pl.pallas_call(
         kernel,
         grid=(n_groups, s8c),
-        in_specs=[row_spec] * 6
+        in_specs=[row_spec] * 7
         + [pl.BlockSpec((g_rows, 128), lambda g, s8: (g, s8c - 1 - s8), memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec((8, g_rows, 128), lambda g, s8: (s8c - 1 - s8, g, 0), memory_space=pltpu.VMEM),
@@ -167,7 +169,7 @@ def _encode_blocks(fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed, *, g_rows, n_gr
         ],
         scratch_shapes=[pltpu.VMEM((g_rows, L), jnp.uint32)],
         interpret=interpret,
-    )(fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed)
+    )(fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, init, packed)
 
 
 def mt64_encode_tpu(
@@ -178,13 +180,14 @@ def mt64_encode_tpu(
 ) -> bytes:
     """Encode to the mt_rANS32x64 16w wire format on the TPU.
 
-    Uniform `block_size` blocks (multiple of 512, <= 8192 so the concat
-    tiles fit VMEM), fresh states per block; the remainder block is encoded
-    by the host oracle.  The blob decodes in ops.mt.mt_decode, the mt64
-    Pallas decoder, and the unmodified C++ reference.
+    Uniform `block_size` blocks (multiple of 512; blocks above 8 KiB must
+    be a multiple of 8 KiB and run as chained kernel segments), fresh
+    states per block; the remainder block is encoded by the host oracle.
+    The blob decodes in ops.mt.mt_decode, the mt64 Pallas decoder, and the
+    unmodified C++ reference.
     """
-    if block_size % (N * 8) or block_size > 8192:
-        raise ValueError("block_size must be a multiple of 512 and <= 8192")
+    if block_size % (N * 8) or (block_size > 8192 and block_size % 8192) or block_size > 65536:
+        raise ValueError("block_size must be a multiple of 512 (of 8192 above 8 KiB), <= 65536")
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     length = arr.size
 
@@ -226,50 +229,66 @@ def mt64_encode_tpu(
         if bits > 12:  # for B<=12 the shift lives inside fc
             l_lo[:nb], l_hi[:nb] = et["l"][:, :128], et["l"][:, 128:]
 
-        packed = np.zeros((nb_pad, s8c * 128), np.int32)
-        packed[:nb] = arr[: nb * block_size].view("<i4").reshape(nb, s8c * 128)
+        # blocks wider than 128 steps run as chained <=128-step segments
+        # (kernel shapes stay fixed; rANS is LIFO so the LAST segment runs
+        # first from fresh states and hands its exit states to the previous
+        # one; the header snapshot is segment 0's output)
+        seg_steps = min(steps, 128)
+        n_segs = steps // seg_steps
+        seg_s8c = seg_steps // 8
+        seg_u32 = seg_steps * N // 4  # u32 lanes of wire bytes per segment
 
-        win, cnta, cntb, states = _encode_blocks(
-            *[jnp.asarray(x) for x in (fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed)],
-            g_rows=g_rows,
-            n_groups=nb_pad // g_rows,
-            s8c=s8c,
-            bits=bits,
-            interpret=interpret,
-        )
+        view32 = np.zeros((nb_pad, n_segs, seg_u32), np.int32)
+        view32[:nb] = arr[: nb * block_size].view("<i4").reshape(nb, n_segs, seg_u32)
 
-        # cnt per (block, step) packed for the concat kernel: step s in lane s
-        cnt_steps = _unpack_counts_mt(cnta, cntb)  # [nb_pad, 128] (steps <= 128)
-        counts = np.asarray(jnp.sum(cnt_steps, axis=1))  # words per block
-        wcap = -(-(steps * N // 2) // 128) * 128
-        w_slots = max(128, -(-int(counts.max()) // 2 // 128) * 128) if counts.size else 128
-
-        # rc bounded by VMEM (win tile = steps*rc*512 B) and must divide
-        # nb_pad; g_rows always does
-        rc = min(max(8, (4 << 20) // (steps * 128 * 4)), g_rows)
-        stream_full = _concat_mega(
-            jnp.asarray(np.array([[w_slots // 128]], np.int32)),
-            win.reshape(1, steps, nb_pad, 128),
-            cnt_steps.reshape(1, nb_pad, 128),
-            rows=nb_pad,
-            rc=rc,
-            steps=steps,
-            wcap=wcap,
-            n_tiles=1,
-            interpret=interpret,
-        )
-        stream = np.asarray(stream_full[0, :, :w_slots]).view(np.uint32)
+        init = jnp.full((nb_pad, 128), DECODE_CONSUME_POINT_16, jnp.uint32)
+        seg_streams: list[np.ndarray] = [None] * n_segs
+        seg_counts: list[np.ndarray] = [None] * n_segs
+        wcap = -(-(seg_steps * N // 2) // 128) * 128
+        rc = min(max(8, (4 << 20) // (seg_steps * 128 * 4)), g_rows)
+        states = init
+        for seg in range(n_segs - 1, -1, -1):
+            win, cnta, cntb, states = _encode_blocks(
+                *[jnp.asarray(x) for x in (fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi)],
+                states,
+                jnp.asarray(view32[:, seg]),
+                g_rows=g_rows,
+                n_groups=nb_pad // g_rows,
+                s8c=seg_s8c,
+                bits=bits,
+                interpret=interpret,
+            )
+            cnt_steps = _unpack_counts_mt(cnta, cntb)  # [nb_pad, 128]
+            counts = np.asarray(jnp.sum(cnt_steps, axis=1))
+            w_slots = max(128, -(-int(counts.max()) // 2 // 128) * 128) if counts.size else 128
+            stream_full = _concat_mega(
+                jnp.asarray(np.array([[w_slots // 128]], np.int32)),
+                win.reshape(1, seg_steps, nb_pad, 128),
+                cnt_steps.reshape(1, nb_pad, 128),
+                rows=nb_pad,
+                rc=rc,
+                steps=seg_steps,
+                wcap=wcap,
+                n_tiles=1,
+                interpret=interpret,
+            )
+            seg_streams[seg] = np.asarray(stream_full[0, :, :w_slots]).view(np.uint32)
+            seg_counts[seg] = counts
         states_np = np.asarray(states)
 
         for k in range(nb):
-            w_count = int(counts[k])
+            words = b"".join(
+                seg_streams[seg][k].view("<u4").tobytes()[: 2 * int(seg_counts[seg][k])]
+                for seg in range(n_segs)
+            )
+            w_count = len(words) // 2
             offset = 2 * N + 256 + w_count - 1  # never the last block
             parts.append(
                 block_size.to_bytes(8, "little")
                 + offset.to_bytes(8, "little")
                 + states_np[k, :N].astype("<u4").tobytes()
                 + freqs[k].astype("<u2").tobytes()
-                + stream[k].view("<u4").tobytes()[: 2 * w_count]
+                + words
             )
 
     # host-oracle final block (remainder + trailing partial lane group)

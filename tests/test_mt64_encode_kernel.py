@@ -40,7 +40,23 @@ def test_mt64_encode_kernel_rle():
 
 
 def test_mt64_encode_rejects_bad_block_size():
-    with pytest.raises(ValueError):
-        mt64_encode_tpu(np.zeros(10, np.uint8), 12, block_size=1000)
-    with pytest.raises(ValueError):
-        mt64_encode_tpu(np.zeros(10, np.uint8), 12, block_size=16384)
+    for bad in (1000, 12288, 131072):  # unaligned / not 8K-multiple / too big
+        with pytest.raises(ValueError):
+            mt64_encode_tpu(np.zeros(10, np.uint8), 12, block_size=bad)
+
+
+@pytest.mark.parametrize("block", (16384, 32768))
+def test_mt64_encode_segmented_large_blocks(block):
+    """Blocks above 128 steps run as chained kernel segments (LIFO order)."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(22)
+    data = text_like(rng, 150_000)
+    blob = mt64_encode_tpu(data, 12, block_size=block, interpret=True)
+    assert mt_decode(blob, 12, 64) == data.tobytes()
+    assert blob == mt_encode_device(data, 12, 64, plan=uniform_plan(data, 12, 64, block))
+    dec = mt64_decode_tpu(blob, 12, interpret=True)
+    if block <= 16384:
+        assert dec == data.tobytes()  # kernel decoder covers 16 KiB blocks
+    else:
+        assert dec is None  # beyond the decoder's VMEM gate -> fallback
