@@ -232,13 +232,14 @@ def mt64_decode_tpu(
         if min(w_counts) < 0:
             return None
         w_slots = max(128, -(-max(w_counts) // 2 // 128) * 128)
-        if w_slots > 4096:
+        if w_slots > 8192:
             return None  # stream tile would not fit VMEM comfortably
 
         nb = len(kernel_blocks)
         n_dev = mesh.shape[axis] if mesh is not None else 1
-        # keep the double-buffered stream tile inside VMEM
-        g_cap = 256 if w_slots <= 1536 else 128
+        # keep the double-buffered stream tile inside VMEM (the sliding
+        # window keeps per-step cost flat regardless of w_slots)
+        g_cap = 256 if w_slots <= 1536 else (128 if w_slots <= 4096 else 64)
         per_dev = -(-nb // n_dev)
         g_rows = g_cap if per_dev >= g_cap else max(8, -(-per_dev // 8) * 8)
         nb_pad = -(-nb // (g_rows * n_dev)) * g_rows * n_dev
