@@ -245,7 +245,12 @@ def mt64_encode_tpu(
         seg_streams: list[np.ndarray] = [None] * n_segs
         seg_counts: list[np.ndarray] = [None] * n_segs
         wcap = -(-(seg_steps * N // 2) // 128) * 128
-        rc = min(max(8, (4 << 20) // (seg_steps * 128 * 4)), g_rows)
+        # VMEM cap, rounded down to a divisor of g_rows (g_rows | nb_pad, so
+        # rc | nb_pad): the concat grid floor-divides and a non-divisor rc
+        # would drop the trailing rows' streams entirely
+        from .tpx_encode import divisor_le
+
+        rc = divisor_le(g_rows, max(8, (4 << 20) // (seg_steps * 128 * 4)))
         states = init
         for seg in range(n_segs - 1, -1, -1):
             win, cnta, cntb, states = _encode_blocks(

@@ -228,6 +228,9 @@ def _decode_mega(vlen, c0, bm, t1a, t1b, t2a, t2b, stream, init_states, *, rows,
             pltpu.VMEM((rows, w_slots), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
+        # wide streams (low B / incompressible tiles) push the stack past
+        # the 16 MiB scoped-vmem default; v5e has 128 MiB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(vlen, c0, bm, t1a, t1b, t2a, t2b, stream, init_states)
     # The packed [T, R, S/4*128] i32 output IS the megablock's bytes in wire

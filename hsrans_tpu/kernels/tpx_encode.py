@@ -307,8 +307,19 @@ def _concat_kernel(
         chunk_pass(s_lo, min(s_lo + 16, steps), first=g == 0)
 
 
+def divisor_le(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap (>= 1)."""
+    d = min(n, max(1, cap))
+    while n % d:
+        d -= 1
+    return d
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "rc", "steps", "wcap", "n_tiles", "interpret"))
 def _concat_mega(wq, win, cnt, *, rows, rc, steps, wcap, n_tiles, interpret=False):
+    # the grid floor-divides: a non-divisor rc would silently skip the
+    # trailing rows and emit structurally valid but corrupt streams
+    assert rows % rc == 0, f"concat rc={rc} must divide rows={rows}"
     kernel = functools.partial(_concat_kernel, rc=rc, steps=steps)
     return pl.pallas_call(
         kernel,
@@ -407,8 +418,9 @@ def tpx_encode_tpu(
     length = arr.size
     s4c = p.steps // 4
     # rc=128 keeps the concat kernel's double-buffered win/out blocks inside
-    # VMEM (rc=256 oversubscribes and the remote compile helper dies).
-    rc = min(128, p.rows)
+    # VMEM (rc=256 oversubscribes and the remote compile helper dies); it
+    # must also divide p.rows or the concat grid drops the trailing rows.
+    rc = divisor_le(p.rows, 128)
     wcap = -(-(p.steps * L // 2) // 128) * 128
 
     out = tpx_header(length, p)

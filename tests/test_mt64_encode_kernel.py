@@ -39,6 +39,19 @@ def test_mt64_encode_kernel_rle():
     assert mt_decode(blob, 12, 64) == data.tobytes()
 
 
+def test_mt64_encode_kernel_many_blocks():
+    """>128 kernel blocks with nb_pad not a multiple of the concat VMEM cap:
+    regression for the concat-grid truncation bug (rows beyond rc*[grid]
+    silently got empty word streams)."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(31)
+    data = text_like(rng, 136 * 4096 + 100)  # 136 kernel blocks at 4 KiB
+    blob = mt64_encode_tpu(data, 12, block_size=4096, interpret=True)
+    assert mt_decode(blob, 12, 64) == data.tobytes()
+    assert blob == mt_encode_device(data, 12, 64, plan=uniform_plan(data, 12, 64, 4096))
+
+
 def test_mt64_encode_rejects_bad_block_size():
     for bad in (1000, 12288, 131072):  # unaligned / not 8K-multiple / too big
         with pytest.raises(ValueError):

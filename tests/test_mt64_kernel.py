@@ -57,7 +57,6 @@ def test_mt64_kernel_declines_nonuniform():
     blob = mt_encode(data, 12, 64)  # reference greedy planner: 2^16+ blocks
     out = mt64_decode_tpu(blob, 12, interpret=True)
     assert out is None or out == data.tobytes()
-    assert mt64_decode_tpu(blob, 13, interpret=True) is None or True  # B gate
 
 
 @pytest.fixture(scope="session")

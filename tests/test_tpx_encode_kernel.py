@@ -71,6 +71,19 @@ def test_encode_kernel_interpret_bit_identical(name, size):
     assert tpx_decode(b) == data.tobytes()
 
 
+def test_encode_kernel_nondividing_rows():
+    """rows > 128 that 128 does not divide: the concat rc must fall back to
+    a true divisor or the grid drops the trailing rows (corrupt streams)."""
+    from tools.gen_inputs import text_like
+
+    p = TpxParams(bits=12, rows=136, lanes=128, steps=4, tiles=1)
+    rng = np.random.default_rng(33)
+    data = text_like(rng, p.mega_bytes)
+    b = tpx_encode_tpu(data, p=p, interpret=True)
+    assert b == tpx_encode(data, p=p)
+    assert tpx_decode(b) == data.tobytes()
+
+
 def test_encode_kernel_interpret_rle_heavy():
     """Single-symbol-dominated rows: near-zero word counts per row."""
     data = np.concatenate(
