@@ -18,11 +18,17 @@ Differences from the tpx kernel (kernels/tpx_decode.py):
     into constant-index pack shuffles, so the kernel's packed u32 output
     is already the block's wire byte order.
 
-Scope: uniformly sized coded blocks (our device mt encoder's uniform_plan
-produces them; they remain decodable by the reference binary).  Single-
-symbol blocks, the final (tail-carrying) block, and non-uniform blobs are
-decoded by the host oracle; `mt64_decode_tpu` returns None for layouts the
-kernel cannot take so callers can fall back entirely.
+Scope: any histogram depth B=10..15; coded blocks whose size is a multiple
+of 512 bytes (64 lanes x 8 steps) — the greedy planner's blocks are 2^16-
+multiples (ops/planner.py MIN_BLOCK_BITS_MT) so reference-planner blobs
+qualify.  Blocks of *different* sizes are grouped into per-size buckets;
+each bucket is one uniform kernel launch (identical step counts per row,
+no masked idle work — the TPU analog of the reference's per-block task
+enqueue, mt_rANS32x64_16w_decode.cpp:217-224).  Single-symbol blocks, the
+final (tail-carrying) block, and blocks too large for a VMEM-resident
+stream tile are decoded by the host oracle; `mt64_decode_tpu` returns None
+only for whole-blob layouts the kernel cannot take so callers can fall
+back entirely.
 """
 
 from __future__ import annotations
@@ -44,6 +50,10 @@ from .tpx_encode import gather256
 N = 64  # rANS lanes per block (x64 family)
 L = 128  # vector lanes per row
 
+# per-bucket VMEM budget for the double-buffered stream tile; with the
+# 100 MiB vmem_limit the practical gate is Mosaic's stack allocator
+_STREAM_TILE_BYTES = 6 << 20
+
 
 def _inv_idx2idx64(p):
     """Closed form of INV_IDX2IDX[64] for in-kernel iota arithmetic.
@@ -58,11 +68,13 @@ def _inv_idx2idx64(p):
 
 
 def _mt64_kernel(
-    c0_ref,  # VMEM [G, 128] i32: per-row rank-bucket coarse ranks
-    bm_ref,  # VMEM [G, 128] i32: per-row boundary bitmasks
-    tp_lo_ref,  # VMEM [G, 128] i32: rank 0..127 -> sym|(freq-1)<<8|cumul<<20
-    tp_hi_ref,  # VMEM [G, 128] i32: rank 128..255
-    stream_ref,  # VMEM [G, W] i32: per-row word stream (2 u16 per slot)
+    c0_ref,  # VMEM [NC, G, 128] i32: per-row rank-bucket coarse ranks
+    bm_ref,  # VMEM [NC, G, 128] i32: per-row boundary bitmasks
+    ta_ref,  # VMEM [G, 128] i32: B<=12 packed rank 0..127; B>12 t1 lo
+    tb_ref,  # VMEM [G, 128] i32: rank 128..255 (packed / t1 hi)
+    tc_ref,  # VMEM [G, 128] i32: B>12 t2 (cumul) lo; zeros for B<=12
+    td_ref,  # VMEM [G, 128] i32: B>12 t2 hi (2 u16 words per i32 slot)
+    stream_ref,  # VMEM [C, G, 128] i32: per-row stream, chunk-major
     init_ref,  # VMEM [G, 128] u32: header states (lanes 64.. are dummies)
     out_ref,  # out VMEM [G, 128] i32: 8 steps x 16 u32 of wire bytes
     states_scr,  # VMEM [G, 128] u32
@@ -80,26 +92,38 @@ def _mt64_kernel(
 
     mask_slot = jnp.uint32((1 << bits) - 1)
     consume_point = jnp.uint32(DECODE_CONSUME_POINT_16)
-    w_slots = stream_ref.shape[-1]
+    w_chunks = stream_ref.shape[0]  # 128-slot stream chunks per row
+    n_chunks = max(1, (1 << bits) // 32 // 128)  # 128-bucket chunks of c0/bm
 
     # Per-invocation sliding stream window: 8 steps consume <= 8*64 words
     # = 256 slots per row, so a 3-chunk (384-slot) window starting at the
-    # row's current chunk covers the whole invocation.  Building it is
-    # per-row chunk SELECTION over static slices (cheap vector selects, no
-    # gathers), turning the per-step fetch into a 3-candidate gather
-    # instead of w_slots/128 candidates (21 at 16 KiB blocks).
+    # row's current chunk covers the whole invocation.  The stream tile is
+    # chunk-MAJOR so the build loops only over [min, max] of the group's
+    # current chunks (dynamic fori bounds from vector reduces) — early
+    # invocations scan ~3 chunks, and even fully divergent rows cost at
+    # most the w_chunks scan the row-major layout always paid.
     rw_entry = rw_scr[:, 0:1]
     win_chunk0 = (rw_entry >> 1) >> 7  # [G, 1] chunk-aligned window base
-    window = []
-    for h in range(3):
-        wh = jnp.zeros((g_rows, 128), jnp.int32)
-        for c in range(w_slots // 128):
-            wh = jnp.where(win_chunk0 + h == c, stream_ref[:, c * 128 : (c + 1) * 128], wh)
-        window.append(wh)
+    cmin = jnp.min(win_chunk0)
+    cmax = jnp.minimum(jnp.max(win_chunk0) + 3, w_chunks)
 
-    c0 = c0_ref[:]
-    bm = pltpu.bitcast(bm_ref[:], jnp.uint32)
-    tp_lo, tp_hi = tp_lo_ref[:], tp_hi_ref[:]
+    def wbody(c, win):
+        w0, w1, w2 = win
+        row = stream_ref[c]
+        w0 = jnp.where(win_chunk0 == c, row, w0)
+        w1 = jnp.where(win_chunk0 + 1 == c, row, w1)
+        w2 = jnp.where(win_chunk0 + 2 == c, row, w2)
+        return w0, w1, w2
+
+    zero_win = jnp.zeros((g_rows, 128), jnp.int32)
+    window = jax.lax.fori_loop(cmin, cmax, wbody, (zero_win, zero_win, zero_win))
+
+    if n_chunks == 1:
+        c0 = c0_ref[0]
+        bm = pltpu.bitcast(bm_ref[0], jnp.uint32)
+    ta, tb = ta_ref[:], tb_ref[:]
+    if bits > 12:
+        tc, td = tc_ref[:], td_ref[:]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
     active = lane < N
@@ -118,14 +142,47 @@ def _mt64_kernel(
         states, rw, packed = carry
         slot = states & mask_slot
         k = pltpu.bitcast(slot, jnp.int32) >> 5
-        c0v = jnp.take_along_axis(c0, k, axis=1)
-        bmv = jnp.take_along_axis(bm, pltpu.bitcast(k, jnp.uint32), axis=1)
+        if n_chunks == 1:
+            c0v = jnp.take_along_axis(c0, k, axis=1)
+            bmv = jnp.take_along_axis(bm, pltpu.bitcast(k, jnp.uint32), axis=1)
+        else:
+            # B>=13: loop dynamically over the 128-bucket chunks (unrolling
+            # the 2*n_chunks gathers per step trips the Mosaic code-size
+            # cliff at B=15, docs/KERNEL_NOTES.md)
+            kc = k >> 7
+            kw = k & 127
+            kw_u = pltpu.bitcast(kw, jnp.uint32)
+
+            def bchunk(c, carry):
+                c0v, bmv = carry
+                sel = kc == c
+                c0v = jnp.where(sel, jnp.take_along_axis(c0_ref[c], kw, axis=1), c0v)
+                bmv = jnp.where(
+                    sel,
+                    jnp.take_along_axis(pltpu.bitcast(bm_ref[c], jnp.uint32), kw_u, axis=1),
+                    bmv,
+                )
+                return c0v, bmv
+
+            c0v, bmv = jax.lax.fori_loop(
+                0,
+                n_chunks,
+                bchunk,
+                (jnp.zeros((g_rows, L), jnp.int32), jnp.zeros((g_rows, L), jnp.uint32)),
+            )
         m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
         rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
-        v1 = pltpu.bitcast(gather256(tp_lo, tp_hi, rank), jnp.uint32)
-        sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
-        freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
-        cum = v1 >> jnp.uint32(20)
+        if bits <= 12:
+            # packed rank table: sym | (freq-1)<<8 | cumul<<20 (one gather)
+            v1 = pltpu.bitcast(gather256(ta, tb, rank), jnp.uint32)
+            sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
+            freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
+            cum = v1 >> jnp.uint32(20)
+        else:
+            v1 = gather256(ta, tb, rank)  # sym | freq<<8 (freq <= 2^15)
+            sym = v1 & 0xFF
+            freq = pltpu.bitcast(v1, jnp.uint32) >> jnp.uint32(8)
+            cum = pltpu.bitcast(gather256(tc, td, rank), jnp.uint32)
 
         new_states = (states >> jnp.uint32(bits)) * freq + slot - cum
         new_states = jnp.where(active, new_states, states)
@@ -162,15 +219,18 @@ def _mt64_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s8c", "w_slots", "bits", "interpret"))
-def _decode_blocks(c0, bm, tp_lo, tp_hi, stream, init, *, g_rows, n_groups, s8c, w_slots, bits, interpret=False):
+def _decode_blocks(c0, bm, ta, tb, tc, td, stream, init, *, g_rows, n_groups, s8c, w_slots, bits, interpret=False):
     kernel = functools.partial(_mt64_kernel, g_rows=g_rows, bits=bits)
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s8: (g, 0), memory_space=pltpu.VMEM)
+    n_chunks = max(1, (1 << bits) // 32 // 128)
+    chunk_spec = pl.BlockSpec((n_chunks, g_rows, 128), lambda g, s8: (0, g, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n_groups, s8c),
-        in_specs=[row_spec] * 4
+        in_specs=[chunk_spec, chunk_spec]
+        + [row_spec] * 4
         + [
-            pl.BlockSpec((g_rows, w_slots), lambda g, s8: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_slots // 128, g_rows, 128), lambda g, s8: (0, g, 0), memory_space=pltpu.VMEM),
             row_spec,
         ],
         out_specs=pl.BlockSpec((g_rows, 128), lambda g, s8: (g, s8), memory_space=pltpu.VMEM),
@@ -179,8 +239,130 @@ def _decode_blocks(c0, bm, tp_lo, tp_hi, stream, init, *, g_rows, n_groups, s8c,
             pltpu.VMEM((g_rows, L), jnp.uint32),
             pltpu.VMEM((g_rows, L), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(c0, bm, tp_lo, tp_hi, stream, init)
+    )(c0, bm, ta, tb, tc, td, stream, init)
+
+
+def _bucket_geometry(w_slots: int, nb: int, n_dev: int) -> int | None:
+    """Rows per kernel group: VMEM stream-tile budget, multiples of 8."""
+    g_cap = _STREAM_TILE_BYTES // (w_slots * 4)
+    g_cap = min(256, g_cap // 8 * 8)
+    if g_cap < 8:
+        return None  # block too large for a VMEM-resident stream row
+    per_dev = -(-nb // n_dev)
+    return g_cap if per_dev >= g_cap else max(8, -(-per_dev // 8) * 8)
+
+
+def build_bucket_arrays(
+    kernel_blocks: list,
+    w_counts: list[int],
+    stream: np.ndarray,
+    bits: int,
+    n_dev: int = 1,
+) -> tuple[list[np.ndarray], dict] | None:
+    """Host-side kernel operands for one uniform-size bucket of blocks."""
+    size0 = kernel_blocks[0].size
+    nb = len(kernel_blocks)
+    w_slots = max(128, -(-max(w_counts) // 2 // 128) * 128)
+    g_rows = _bucket_geometry(w_slots, nb, n_dev)
+    if g_rows is None:
+        return None
+    nb_pad = -(-nb // (g_rows * n_dev)) * g_rows * n_dev
+    s8c = size0 // N // 8
+
+    n_buckets = (1 << bits) // 32
+    n_chunks = max(1, n_buckets // 128)
+    c0 = np.zeros((n_chunks, nb_pad, 128), np.int32)
+    bm = np.zeros((n_chunks, nb_pad, 128), np.int32)
+    ta = np.zeros((nb_pad, 128), np.int32)
+    tb = np.zeros((nb_pad, 128), np.int32)
+    tc = np.zeros((nb_pad, 128), np.int32)
+    td = np.zeros((nb_pad, 128), np.int32)
+    stream_rows = np.zeros((nb_pad, w_slots), np.uint32)
+    init = np.full((nb_pad, L), DECODE_CONSUME_POINT_16, np.uint32)
+    for i, b in enumerate(kernel_blocks):
+        hist = complete_hist(b.freq, bits)
+        if hist is None:
+            return None
+        rt = make_rank_tables(hist)
+        for c in range(n_chunks):
+            seg = slice(c * 128, min((c + 1) * 128, n_buckets))
+            c0[c, i, : seg.stop - seg.start] = rt["c0"][seg]
+            bm[c, i, : seg.stop - seg.start] = rt["bm"][seg]
+        key = "tp" if bits <= 12 else "t1"
+        ta[i] = rt[key][:128]
+        tb[i] = rt[key][128:]
+        if bits > 12:
+            tc[i] = rt["t2"][:128]
+            td[i] = rt["t2"][128:]
+        words = stream[b.word_start : b.word_start + w_counts[i]].astype(np.uint32)
+        if words.size & 1:
+            words = np.concatenate([words, np.zeros(1, np.uint32)])
+        stream_rows[i, : words.size // 2] = words[0::2] | (words[1::2] << np.uint32(16))
+        init[i, :N] = b.states
+
+    # chunk-major stream layout: the kernel's window build loads whole
+    # 128-slot chunks by dynamic leading index (stream_ref[c] -> [G, 128])
+    stream_cm = np.ascontiguousarray(
+        stream_rows.view(np.int32).reshape(nb_pad, w_slots // 128, 128).transpose(1, 0, 2)
+    )
+    arrs = [c0, bm, ta, tb, tc, td, stream_cm, init]
+    kw = dict(g_rows=g_rows, n_groups=nb_pad // g_rows // n_dev, s8c=s8c, w_slots=w_slots, bits=bits)
+    return arrs, kw
+
+
+def decode_bucket(
+    kernel_blocks: list,
+    w_counts: list[int],
+    stream: np.ndarray,
+    bits: int,
+    interpret: bool,
+    mesh,
+    axis: str,
+) -> np.ndarray | None:
+    """Decode one uniform-size bucket of coded blocks; [nb_pad, size] bytes."""
+    n_dev = mesh.shape[axis] if mesh is not None else 1
+    built = build_bucket_arrays(kernel_blocks, w_counts, stream, bits, n_dev)
+    if built is None:
+        return None
+    arrs, kw = built
+    size0 = kernel_blocks[0].size
+    args = [jnp.asarray(a) for a in arrs]
+    kw = dict(kw, interpret=interpret)
+    if mesh is None:
+        packed = _decode_blocks(*args, **kw)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.shard_map(
+            lambda *a: _decode_blocks(*a, **kw),
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis)) + (P(axis),) * 4 + (P(None, axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        packed = fn(*args)
+    return np.asarray(packed).view(np.uint8).reshape(-1, size0)
+
+
+def block_word_counts(blocks: list, kernel_blocks: list, stream: np.ndarray) -> list[int] | None:
+    """Exact per-block word counts: a block's words end where the next
+    block's header begins (single-symbol header = 4 words; coded header
+    = 8 + 2N + 256 words before its word_start)."""
+    pos_of = {id(b): j for j, b in enumerate(blocks)}
+    w_counts = []
+    for b in kernel_blocks:
+        j = pos_of[id(b)] + 1
+        if j < len(blocks):
+            nxt = blocks[j]
+            end = nxt.word_start - (4 if nxt.is_single else 8 + 2 * N + 256)
+        else:
+            end = stream.size
+        w_counts.append(end - b.word_start)
+    if w_counts and min(w_counts) < 0:
+        return None
+    return w_counts
 
 
 def mt64_decode_tpu(
@@ -190,16 +372,18 @@ def mt64_decode_tpu(
     mesh=None,
     axis: str = "dp",
 ) -> bytes | None:
-    """Decode an mt_rANS32x64 16w blob with uniform blocks on the TPU.
+    """Decode an mt_rANS32x64 16w blob on the TPU (any B in 10..15).
 
-    With `mesh`, the block batch is sharded over the mesh axis via
+    Coded blocks are grouped by size into uniform kernel buckets (the
+    greedy planner's variable blocks are minb-multiples, so buckets are
+    few); blocks whose size isn't a 512-multiple or whose stream exceeds
+    the VMEM tile budget fall back to the host oracle per block.  With
+    `mesh`, each bucket's block batch is sharded over the mesh axis via
     shard_map (the reference thread-pool fan-out mapped to chips; outputs
-    gather in order at the shard_map boundary).  Returns None when the
-    blob's layout is outside the kernel's scope (non-uniform coded blocks,
-    B > 12, tiny inputs) — callers fall back to ops.mt.mt_decode /
-    parallel.sharded paths.
+    gather in order at the shard_map boundary).  Returns None only for
+    layouts where nothing can run on the kernel (malformed/tiny inputs).
     """
-    if bits > 12:
+    if bits > 15:
         return None
     idx = block_index(blob, N)
     if idx is None:
@@ -209,96 +393,41 @@ def mt64_decode_tpu(
         return b""
 
     # kernel set: all coded blocks except the last coded one (it may own the
-    # trailing partial lane group), all the same size, steps % 8 == 0
+    # trailing partial lane group), steps % 8 == 0
     coded = [b for b in blocks if not b.is_single]
     kernel_blocks = coded[:-1] if coded else []
-    if kernel_blocks:
-        size0 = kernel_blocks[0].size
-        if size0 % (N * 8) or any(b.size != size0 for b in kernel_blocks):
-            return None
-        # exact per-block word counts: a block's words end where the next
-        # block's header begins (single-symbol header = 4 words; coded
-        # header = 8 + 2N + 256 words before its word_start)
-        pos_of = {id(b): j for j, b in enumerate(blocks)}
-        w_counts = []
-        for b in kernel_blocks:
-            j = pos_of[id(b)] + 1
-            if j < len(blocks):
-                nxt = blocks[j]
-                end = nxt.word_start - (4 if nxt.is_single else 8 + 2 * N + 256)
-            else:
-                end = stream.size
-            w_counts.append(end - b.word_start)
-        if min(w_counts) < 0:
-            return None
-        w_slots = max(128, -(-max(w_counts) // 2 // 128) * 128)
-        if w_slots > 8192:
-            return None  # stream tile would not fit VMEM comfortably
+    w_all = block_word_counts(blocks, kernel_blocks, stream)
+    if w_all is None:
+        return None
 
-        nb = len(kernel_blocks)
-        n_dev = mesh.shape[axis] if mesh is not None else 1
-        # keep the double-buffered stream tile inside VMEM (the sliding
-        # window keeps per-step cost flat regardless of w_slots)
-        g_cap = 256 if w_slots <= 1536 else (128 if w_slots <= 4096 else 64)
-        per_dev = -(-nb // n_dev)
-        g_rows = g_cap if per_dev >= g_cap else max(8, -(-per_dev // 8) * 8)
-        nb_pad = -(-nb // (g_rows * n_dev)) * g_rows * n_dev
-        s8c = size0 // N // 8
+    buckets: dict[int, list[int]] = {}
+    for i, b in enumerate(kernel_blocks):
+        if b.size % (N * 8) == 0:
+            buckets.setdefault(b.size, []).append(i)
 
-        c0 = np.zeros((nb_pad, 128), np.int32)
-        bm = np.zeros((nb_pad, 128), np.int32)
-        tp_lo = np.zeros((nb_pad, 128), np.int32)
-        tp_hi = np.zeros((nb_pad, 128), np.int32)
-        stream_rows = np.zeros((nb_pad, w_slots), np.uint32)
-        init = np.full((nb_pad, L), DECODE_CONSUME_POINT_16, np.uint32)
-        n_buckets = (1 << bits) // 32
-        for i, b in enumerate(kernel_blocks):
-            hist = complete_hist(b.freq, bits)
-            if hist is None:
-                return None
-            rt = make_rank_tables(hist)
-            c0[i, :n_buckets] = rt["c0"]
-            bm[i, :n_buckets] = rt["bm"]
-            tp_lo[i] = rt["tp"][:128]
-            tp_hi[i] = rt["tp"][128:]
-            words = stream[b.word_start : b.word_start + w_counts[i]].astype(np.uint32)
-            if words.size & 1:
-                words = np.concatenate([words, np.zeros(1, np.uint32)])
-            stream_rows[i, : words.size // 2] = words[0::2] | (words[1::2] << np.uint32(16))
-            init[i, :N] = b.states
-
-        args = [
-            jnp.asarray(c0),
-            jnp.asarray(bm),
-            jnp.asarray(tp_lo),
-            jnp.asarray(tp_hi),
-            jnp.asarray(stream_rows.view(np.int32)),
-            jnp.asarray(init),
-        ]
-        kw = dict(g_rows=g_rows, n_groups=nb_pad // g_rows // n_dev, s8c=s8c, w_slots=w_slots, bits=bits, interpret=interpret)
-        if mesh is None:
-            packed = _decode_blocks(*args, **kw)
-        else:
-            from jax.sharding import PartitionSpec as P
-
-            fn = jax.shard_map(
-                lambda *a: _decode_blocks(*a, **kw),
-                mesh=mesh,
-                in_specs=(P(axis),) * 6,
-                out_specs=P(axis),
-                check_vma=False,
-            )
-            packed = fn(*args)
-        block_bytes = np.asarray(packed).view(np.uint8).reshape(nb_pad, size0)
+    decoded: dict[int, np.ndarray] = {}  # kernel_blocks index -> bytes
+    for size0, idxs in sorted(buckets.items()):
+        # order rows by stream length: kernel groups then hold blocks whose
+        # read cursors stay close, keeping the dynamic window scan short
+        # (measured 4.6 -> 6.2 GiB/s on the mixed corpus at 64 KiB blocks)
+        idxs = sorted(idxs, key=lambda i: w_all[i])
+        blk = [kernel_blocks[i] for i in idxs]
+        wc = [w_all[i] for i in idxs]
+        rows = decode_bucket(blk, wc, stream, bits, interpret, mesh, axis)
+        if rows is None:
+            continue  # bucket out of scope -> host oracle per block
+        for j, i in enumerate(idxs):
+            decoded[i] = rows[j]
 
     out = np.zeros(length, dtype=np.uint8)
-    ki = 0
+    kpos = {id(b): i for i, b in enumerate(kernel_blocks)}
     for b in blocks:
         if b.is_single:
             out[b.out_start : b.out_start + b.size] = b.symbol
-        elif kernel_blocks and ki < len(kernel_blocks) and b is kernel_blocks[ki]:
-            out[b.out_start : b.out_start + b.size] = block_bytes[ki]
-            ki += 1
+            continue
+        i = kpos.get(id(b))
+        if i is not None and i in decoded:
+            out[b.out_start : b.out_start + b.size] = decoded[i]
         else:
             part = _decode_block_host(b, stream, bits, length)
             if part is None:

@@ -111,7 +111,7 @@ def mt_decode_device(
     Single-device blobs with uniform blocks take the Pallas fast path
     (kernels/mt64_decode.py, ~7 GiB/s on v5e) before the generic scan.
     """
-    if n == 64 and bits <= 12:
+    if n == 64 and bits <= 15:
         from ..kernels.mt64_decode import mt64_decode_tpu
         from ..runtime.device import detect
 

@@ -48,15 +48,37 @@ def test_mt64_kernel_rle_single_blocks():
     assert mt64_decode_tpu(blob, 12, interpret=True) == data.tobytes()
 
 
-def test_mt64_kernel_declines_nonuniform():
-    """Greedy-planner blobs (reference block sizes) -> None, caller falls back."""
+def test_mt64_kernel_planner_blob():
+    """Greedy-planner blobs (the reference's own variable 2^16+ block sizes)
+    decode on the kernel path via per-size buckets."""
     from tools.gen_inputs import text_like
 
     rng = np.random.default_rng(11)
     data = text_like(rng, 400_000)
-    blob = mt_encode(data, 12, 64)  # reference greedy planner: 2^16+ blocks
-    out = mt64_decode_tpu(blob, 12, interpret=True)
-    assert out is None or out == data.tobytes()
+    blob = mt_encode(data, 12, 64)  # reference greedy planner
+    assert mt64_decode_tpu(blob, 12, interpret=True) == data.tobytes()
+
+
+def test_mt64_kernel_planner_blob_corpus():
+    """Real mixed corpus: the planner emits several distinct block sizes."""
+    from pathlib import Path
+
+    corpus = Path(__file__).parent / "corpus" / "corpus.bin"
+    data = np.fromfile(corpus, np.uint8)[: 512 * 1024]
+    blob = mt_encode(data, 12, 64)
+    assert mt64_decode_tpu(blob, 12, interpret=True) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (13, 15))
+def test_mt64_kernel_high_bits(bits):
+    """B=13..15: chunked per-row bucket tables + t1/t2 rank tables."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(17)
+    data = text_like(rng, 150_000)
+    blob = _blob(data, 4096, bits=bits)
+    assert mt_decode(blob, bits, 64) == data.tobytes()
+    assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
 
 
 @pytest.fixture(scope="session")
