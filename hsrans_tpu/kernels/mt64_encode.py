@@ -172,147 +172,200 @@ def _encode_blocks(fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, init, packed, *, g_rows
     )(fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, init, packed)
 
 
+def _encode_size_bucket(
+    arr: np.ndarray,
+    starts: list[int],
+    freqs: np.ndarray,
+    block_size: int,
+    bits: int,
+    interpret: bool,
+) -> list[bytes]:
+    """Device-encode equal-size blocks at `starts`; returns wire parts
+    (header + words) per block, in `starts` order.  Blocks above 8 KiB run
+    as chained <=128-step kernel segments (kernel shapes stay fixed; rANS
+    is LIFO so the LAST segment runs first from fresh states and hands its
+    exit states to the previous one; the header snapshot is seg 0's output).
+    """
+    nb = len(starts)
+    steps = block_size // N
+    g_rows = min(256, max(8, -(-nb // 8) * 8))
+    nb_pad = -(-nb // g_rows) * g_rows
+
+    cumuls = np.zeros((nb, 256), np.uint16)
+    cumuls[:, 1:] = np.cumsum(freqs[:, :-1].astype(np.uint64), axis=1).astype(np.uint16)
+    et = make_enc_tables_batch(freqs, cumuls, bits)
+    fc_lo = np.zeros((nb_pad, 128), np.int32)
+    fc_hi = np.zeros((nb_pad, 128), np.int32)
+    m_lo = np.full((nb_pad, 128), np.int32(-(1 << 31)))  # d=1 magic for pads
+    m_hi = np.full((nb_pad, 128), np.int32(-(1 << 31)))
+    l_lo = np.zeros((nb_pad, 128), np.int32)
+    l_hi = np.zeros((nb_pad, 128), np.int32)
+    fc_lo[:nb], fc_hi[:nb] = et["fc"][:, :128], et["fc"][:, 128:]
+    m_lo[:nb], m_hi[:nb] = et["m"][:, :128], et["m"][:, 128:]
+    if bits > 12:  # for B<=12 the shift lives inside fc
+        l_lo[:nb], l_hi[:nb] = et["l"][:, :128], et["l"][:, 128:]
+
+    seg_steps = min(steps, 128)
+    n_segs = steps // seg_steps
+    seg_s8c = seg_steps // 8
+    seg_bytes = seg_steps * N
+
+    view32 = np.zeros((nb_pad, n_segs, seg_bytes // 4), np.int32)
+    for k, s in enumerate(starts):
+        view32[k] = arr[s : s + block_size].view("<i4").reshape(n_segs, seg_bytes // 4)
+
+    init = jnp.full((nb_pad, 128), DECODE_CONSUME_POINT_16, jnp.uint32)
+    seg_streams: list[np.ndarray] = [None] * n_segs
+    seg_counts: list[np.ndarray] = [None] * n_segs
+    wcap = -(-(seg_steps * N // 2) // 128) * 128
+    # VMEM cap, rounded down to a divisor of g_rows (g_rows | nb_pad, so
+    # rc | nb_pad): the concat grid floor-divides and a non-divisor rc
+    # would drop the trailing rows' streams entirely
+    from .tpx_encode import divisor_le
+
+    rc = divisor_le(g_rows, max(8, (4 << 20) // (seg_steps * 128 * 4)))
+    states = init
+    for seg in range(n_segs - 1, -1, -1):
+        win, cnta, cntb, states = _encode_blocks(
+            *[jnp.asarray(x) for x in (fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi)],
+            states,
+            jnp.asarray(view32[:, seg]),
+            g_rows=g_rows,
+            n_groups=nb_pad // g_rows,
+            s8c=seg_s8c,
+            bits=bits,
+            interpret=interpret,
+        )
+        cnt_steps = _unpack_counts_mt(cnta, cntb)  # [nb_pad, 128]
+        counts = np.asarray(jnp.sum(cnt_steps, axis=1))
+        w_slots = max(128, -(-int(counts.max()) // 2 // 128) * 128) if counts.size else 128
+        stream_full = _concat_mega(
+            jnp.asarray(np.array([[w_slots // 128]], np.int32)),
+            win.reshape(1, seg_steps, nb_pad, 128),
+            cnt_steps.reshape(1, nb_pad, 128),
+            rows=nb_pad,
+            rc=rc,
+            steps=seg_steps,
+            wcap=wcap,
+            n_tiles=1,
+            interpret=interpret,
+        )
+        seg_streams[seg] = np.asarray(stream_full[0, :, :w_slots]).view(np.uint32)
+        seg_counts[seg] = counts
+    states_np = np.asarray(states)
+
+    parts = []
+    for k in range(nb):
+        words = b"".join(
+            seg_streams[seg][k].view("<u4").tobytes()[: 2 * int(seg_counts[seg][k])]
+            for seg in range(n_segs)
+        )
+        w_count = len(words) // 2
+        offset = 2 * N + 256 + w_count - 1  # never the last block
+        parts.append(
+            block_size.to_bytes(8, "little")
+            + offset.to_bytes(8, "little")
+            + states_np[k, :N].astype("<u4").tobytes()
+            + freqs[k].astype("<u2").tobytes()
+            + words
+        )
+    return parts
+
+
+def _kernel_block_ok(size: int) -> bool:
+    """Kernel-eligible block size: 512-multiple, 8192-multiple above 8 KiB
+    (equal chained segments); the greedy planner's 2^16-multiples qualify."""
+    return size % (N * 8) == 0 and (size <= 8192 or size % 8192 == 0)
+
+
 def mt64_encode_tpu(
     data: bytes | np.ndarray,
     bits: int,
     block_size: int = 4096,
     interpret: bool = False,
+    plan: list[BlockPlan] | None = None,
 ) -> bytes:
     """Encode to the mt_rANS32x64 16w wire format on the TPU.
 
-    Uniform `block_size` blocks (multiple of 512; blocks above 8 KiB must
-    be a multiple of 8 KiB and run as chained kernel segments), fresh
-    states per block; the remainder block is encoded by the host oracle.
-    The blob decodes in ops.mt.mt_decode, the mt64 Pallas decoder, and the
-    unmodified C++ reference.
+    Without `plan`: uniform `block_size` blocks (512-multiple; 8192-multiple
+    above 8 KiB).  With `plan` (e.g. the reference greedy planner's rows,
+    ops/planner.py): variable block sizes run as per-size kernel buckets,
+    single-symbol rows become RLE indicators, and rows the kernel cannot
+    take (unaligned sizes) are host-encoded.  All blocks start from fresh
+    states — valid per the wire format since every mt block embeds its own
+    state snapshot (mt_rANS32x64_16w_encode.cpp:266-298) — so the blob
+    decodes in ops.mt.mt_decode, the mt64 Pallas decoder, and the
+    unmodified C++ reference, merely byte-different from the sequential
+    LIFO oracle.  The final block (trailing partial lane group) is always
+    encoded by the host oracle.
     """
-    if block_size % (N * 8) or (block_size > 8192 and block_size % 8192) or block_size > 65536:
-        raise ValueError("block_size must be a multiple of 512 (of 8192 above 8 KiB), <= 65536")
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     length = arr.size
 
-    # same segmentation as parallel.sharded.uniform_plan: uniform blocks,
-    # remainder merged into the final block, which the host oracle encodes
-    # (it owns the trailing partial lane group)
-    starts = list(range(0, length, block_size)) or [0]
-    if len(starts) > 1 and length - starts[-1] < N:
-        starts.pop()
-    n_kernel = len(starts) - 1
-    steps = block_size // N
-    s8c = steps // 8
+    if plan is None:
+        if not _kernel_block_ok(block_size):
+            raise ValueError("block_size must be a multiple of 512 (of 8192 above 8 KiB)")
+        starts = list(range(0, length, block_size)) or [0]
+        if len(starts) > 1 and length - starts[-1] < N:
+            starts.pop()
+        plan = [
+            BlockPlan(s, (starts[i + 1] if i + 1 < len(starts) else length) - s, False, 0, None)
+            for i, s in enumerate(starts)
+        ]
+        # uniform fast path for histograms (native C++ threads when built)
+        nk = len(plan) - 1
+        if nk > 0:
+            from ..runtime import native
 
-    parts: list[bytes] = []
-    if n_kernel:
-        nb = n_kernel
-        g_rows = min(256, max(8, -(-nb // 8) * 8))
-        nb_pad = -(-nb // g_rows) * g_rows
+            nb_hists = native.hist_blocks(arr[: nk * block_size], block_size, bits, nk)
+            if nb_hists is not None:
+                for k in range(nk):
+                    plan[k].freq = nb_hists[0][k]
 
-        from ..runtime import native
+    parts: list[bytes] = [b""] * len(plan)
+    buckets: dict[int, list[int]] = {}
+    for k, row in enumerate(plan):
+        if row.is_single:
+            parts[k] = (row.size | (1 << 63) | (row.symbol << 54)).to_bytes(8, "little")
+        elif k < len(plan) - 1 and _kernel_block_ok(row.size):
+            buckets.setdefault(row.size, []).append(k)
 
-        nb_hists = native.hist_blocks(arr[: nb * block_size], block_size, bits, nb)
-        if nb_hists is None:  # no native library: per-block host fallback
-            hs = [make_tile_hist(arr[k * block_size : (k + 1) * block_size], bits) for k in range(nb)]
-            freqs = np.stack([h.symbol_count for h in hs])
-            cumuls = np.stack([h.cumul for h in hs])
-        else:
-            freqs, cumuls = nb_hists
+    for size0, ks in sorted(buckets.items()):
+        freqs = np.stack(
+            [
+                plan[k].freq
+                if plan[k].freq is not None
+                else make_tile_hist(arr[plan[k].start : plan[k].start + size0], bits).symbol_count
+                for k in ks
+            ]
+        ).astype(np.uint16)
+        bucket_parts = _encode_size_bucket(
+            arr, [plan[k].start for k in ks], freqs, size0, bits, interpret
+        )
+        for k, part in zip(ks, bucket_parts):
+            parts[k] = part
 
-        et = make_enc_tables_batch(freqs, cumuls, bits)
-        fc_lo = np.zeros((nb_pad, 128), np.int32)
-        fc_hi = np.zeros((nb_pad, 128), np.int32)
-        m_lo = np.full((nb_pad, 128), np.int32(-(1 << 31)))  # d=1 magic for pads
-        m_hi = np.full((nb_pad, 128), np.int32(-(1 << 31)))
-        l_lo = np.zeros((nb_pad, 128), np.int32)
-        l_hi = np.zeros((nb_pad, 128), np.int32)
-        fc_lo[:nb], fc_hi[:nb] = et["fc"][:, :128], et["fc"][:, 128:]
-        m_lo[:nb], m_hi[:nb] = et["m"][:, :128], et["m"][:, 128:]
-        if bits > 12:  # for B<=12 the shift lives inside fc
-            l_lo[:nb], l_hi[:nb] = et["l"][:, :128], et["l"][:, 128:]
+    # host-oracle blocks: the final one (owns the trailing partial lane
+    # group, different offset accounting) and any kernel-ineligible sizes
+    from ..ops.mt import _lane_groups
 
-        # blocks wider than 128 steps run as chained <=128-step segments
-        # (kernel shapes stay fixed; rANS is LIFO so the LAST segment runs
-        # first from fresh states and hands its exit states to the previous
-        # one; the header snapshot is segment 0's output)
-        seg_steps = min(steps, 128)
-        n_segs = steps // seg_steps
-        seg_s8c = seg_steps // 8
-        seg_u32 = seg_steps * N // 4  # u32 lanes of wire bytes per segment
-
-        view32 = np.zeros((nb_pad, n_segs, seg_u32), np.int32)
-        view32[:nb] = arr[: nb * block_size].view("<i4").reshape(nb, n_segs, seg_u32)
-
-        init = jnp.full((nb_pad, 128), DECODE_CONSUME_POINT_16, jnp.uint32)
-        seg_streams: list[np.ndarray] = [None] * n_segs
-        seg_counts: list[np.ndarray] = [None] * n_segs
-        wcap = -(-(seg_steps * N // 2) // 128) * 128
-        # VMEM cap, rounded down to a divisor of g_rows (g_rows | nb_pad, so
-        # rc | nb_pad): the concat grid floor-divides and a non-divisor rc
-        # would drop the trailing rows' streams entirely
-        from .tpx_encode import divisor_le
-
-        rc = divisor_le(g_rows, max(8, (4 << 20) // (seg_steps * 128 * 4)))
-        states = init
-        for seg in range(n_segs - 1, -1, -1):
-            win, cnta, cntb, states = _encode_blocks(
-                *[jnp.asarray(x) for x in (fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi)],
-                states,
-                jnp.asarray(view32[:, seg]),
-                g_rows=g_rows,
-                n_groups=nb_pad // g_rows,
-                s8c=seg_s8c,
-                bits=bits,
-                interpret=interpret,
-            )
-            cnt_steps = _unpack_counts_mt(cnta, cntb)  # [nb_pad, 128]
-            counts = np.asarray(jnp.sum(cnt_steps, axis=1))
-            w_slots = max(128, -(-int(counts.max()) // 2 // 128) * 128) if counts.size else 128
-            stream_full = _concat_mega(
-                jnp.asarray(np.array([[w_slots // 128]], np.int32)),
-                win.reshape(1, seg_steps, nb_pad, 128),
-                cnt_steps.reshape(1, nb_pad, 128),
-                rows=nb_pad,
-                rc=rc,
-                steps=seg_steps,
-                wcap=wcap,
-                n_tiles=1,
-                interpret=interpret,
-            )
-            seg_streams[seg] = np.asarray(stream_full[0, :, :w_slots]).view(np.uint32)
-            seg_counts[seg] = counts
-        states_np = np.asarray(states)
-
-        for k in range(nb):
-            words = b"".join(
-                seg_streams[seg][k].view("<u4").tobytes()[: 2 * int(seg_counts[seg][k])]
-                for seg in range(n_segs)
-            )
-            w_count = len(words) // 2
-            offset = 2 * N + 256 + w_count - 1  # never the last block
-            parts.append(
-                block_size.to_bytes(8, "little")
-                + offset.to_bytes(8, "little")
-                + states_np[k, :N].astype("<u4").tobytes()
-                + freqs[k].astype("<u2").tobytes()
-                + words
-            )
-
-    # host-oracle final block (remainder + trailing partial lane group)
-    start = starts[-1]
-    if length > start:
-        row = BlockPlan(start, length - start, False, 0, make_tile_hist(arr[start:length], bits).symbol_count)
-        hist = complete_hist(row.freq, bits)
-        from ..ops.mt import _lane_groups
-
-        groups, valid = _lane_groups(arr, start, length, length, N)
+    for k, row in enumerate(plan):
+        if parts[k] or row.size == 0:
+            continue
+        is_last = k == len(plan) - 1
+        end = row.start + row.size
+        freq = row.freq if row.freq is not None else make_tile_hist(arr[row.start : min(end, length)], bits).symbol_count
+        hist = complete_hist(freq, bits)
+        groups, valid = _lane_groups(arr, row.start, end, length, N)
         st = np.full(N, DECODE_CONSUME_POINT_16, dtype=np.uint32)
         words, emits, st = encode_groups(st, groups, valid, hist)
         w = words[emits]
-        offset = 2 * N + 256 + w.size - 2
-        parts.append(
+        offset = 2 * N + 256 + w.size - (2 if is_last else 1)
+        parts[k] = (
             int(row.size).to_bytes(8, "little")
             + int(offset).to_bytes(8, "little")
             + st.astype("<u4").tobytes()
-            + row.freq.astype("<u2").tobytes()
+            + np.asarray(freq, dtype=np.uint16).astype("<u2").tobytes()
             + w.astype("<u2").tobytes()
         )
 

@@ -53,9 +53,43 @@ def test_mt64_encode_kernel_many_blocks():
 
 
 def test_mt64_encode_rejects_bad_block_size():
-    for bad in (1000, 12288, 131072):  # unaligned / not 8K-multiple / too big
+    for bad in (1000, 12288, 768):  # unaligned / not 8K-multiples above 8K
         with pytest.raises(ValueError):
             mt64_encode_tpu(np.zeros(10, np.uint8), 12, block_size=bad)
+
+
+def test_mt64_encode_planner_plan():
+    """Greedy-planner plans (the reference's variable 2^16+ block sizes)
+    encode on the kernel path via per-size buckets; fresh-state blocks stay
+    valid mt wire and roundtrip through oracle and Pallas decoders."""
+    from pathlib import Path
+
+    from hsrans_tpu.ops.planner import plan_blocks
+
+    corpus = Path(__file__).parent / "corpus" / "corpus.bin"
+    data = np.fromfile(corpus, np.uint8)[: 512 * 1024]
+    plan = plan_blocks(data, 12, "mt", 64)
+    assert len({r.size for r in plan}) >= 1 and max(r.size for r in plan) >= 1 << 16
+    blob = mt64_encode_tpu(data, 12, interpret=True, plan=plan)
+    assert mt_decode(blob, 12, 64) == data.tobytes()
+    assert mt64_decode_tpu(blob, 12, interpret=True) == data.tobytes()
+
+
+def test_mt64_encode_plan_with_rle_rows():
+    """Plans with single-symbol rows: RLE indicators between kernel buckets."""
+    from hsrans_tpu.ops.planner import BlockPlan
+
+    rng = np.random.default_rng(41)
+    from tools.gen_inputs import text_like
+
+    data = np.concatenate([text_like(rng, 8192), np.full(4096, 7, np.uint8), text_like(rng, 9000)])
+    plan = [
+        BlockPlan(0, 8192, False, 0, None),
+        BlockPlan(8192, 4096, True, 7, None),
+        BlockPlan(12288, 9000, False, 0, None),
+    ]
+    blob = mt64_encode_tpu(data, 12, interpret=True, plan=plan)
+    assert mt_decode(blob, 12, 64) == data.tobytes()
 
 
 @pytest.mark.parametrize("block", (16384, 32768))
