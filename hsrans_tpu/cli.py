@@ -47,8 +47,8 @@ def _build_codecs(args) -> list[dict]:
             for n in (16, 32, 64):
                 add(
                     f"rANS32x{n} 16w",
-                    (lambda b, n=n: lambda d: reference.raw_encode_16w(d, make_hist(d, b), n))(bits),
-                    (lambda b, n=n: lambda c: reference.raw_decode_16w(c, b, n))(bits),
+                    (lambda b, n=n: lambda d: reference.raw_encode(d, b, n))(bits),
+                    (lambda b, n=n: lambda c: reference.raw_decode(c, b, n))(bits),
                     bits,
                 )
         if args["blk32"]:

@@ -52,7 +52,23 @@ def _lane_groups(arr: np.ndarray, start: int, end: int, length: int, n: int) -> 
 
 
 def block_encode(data: bytes | np.ndarray, bits: int, n: int, plan: list[BlockPlan] | None = None) -> bytes:
-    """Encode with adaptive per-block histograms (bit-exact wire parity)."""
+    """Encode with adaptive per-block histograms (bit-exact wire parity).
+
+    Dispatches to the native C++ codec when built (identical bytes, tested
+    by tests/test_native_codec.py); the numpy body is the wire authority.
+    """
+    if plan is None:
+        from ..runtime import native
+
+        arr0 = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+        fast = native.block_encode(arr0, bits, n)
+        if fast is not None:
+            return fast
+    return block_encode_py(data, bits, n, plan)
+
+
+def block_encode_py(data: bytes | np.ndarray, bits: int, n: int, plan: list[BlockPlan] | None = None) -> bytes:
+    """Pure-numpy encoder (the wire authority)."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     length = arr.size
     if plan is None:
@@ -89,7 +105,19 @@ def block_encode(data: bytes | np.ndarray, bits: int, n: int, plan: list[BlockPl
 
 
 def block_decode(blob: bytes | np.ndarray, bits: int, n: int) -> bytes | None:
-    """Decode; None on malformed input (reference error model)."""
+    """Decode; None on malformed input (reference error model).
+
+    Native C++ fast path when built; numpy fallback below is the authority.
+    """
+    from ..runtime import native
+
+    if native.load() is not None:
+        return native.block_decode(blob, bits, n)
+    return block_decode_py(blob, bits, n)
+
+
+def block_decode_py(blob: bytes | np.ndarray, bits: int, n: int) -> bytes | None:
+    """Pure-numpy decoder (the wire authority)."""
     buf = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, bytearray, memoryview)) else np.asarray(blob, dtype=np.uint8)
     # NOTE: the reference rejects anything < header + one histogram
     # (block_rANS32x64_16w_decode.cpp:15), which makes its own all-RLE tiny

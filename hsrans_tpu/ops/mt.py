@@ -55,6 +55,20 @@ def _lane_groups(arr, start, end, length, n):
 
 
 def mt_encode(data: bytes | np.ndarray, bits: int, n: int, plan: list[BlockPlan] | None = None) -> bytes:
+    """Sequential-oracle mt encode (native C++ when built, numpy fallback;
+    identical bytes either way — tests/test_native_codec.py)."""
+    if plan is None:
+        from ..runtime import native
+
+        arr0 = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+        fast = native.mt_encode(arr0, bits, n)
+        if fast is not None:
+            return fast
+    return mt_encode_py(data, bits, n, plan)
+
+
+def mt_encode_py(data: bytes | np.ndarray, bits: int, n: int, plan: list[BlockPlan] | None = None) -> bytes:
+    """Pure-numpy encoder (the wire authority)."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     length = arr.size
     if plan is None:
@@ -157,8 +171,18 @@ def block_index(blob: bytes | np.ndarray, n: int) -> tuple[int, np.ndarray, list
 
 
 def mt_decode(blob: bytes | np.ndarray, bits: int, n: int) -> bytes | None:
-    """Sequential (single-stream) mt decode — the correctness oracle; the
-    batched/sharded paths live in kernels/ and parallel/."""
+    """Host mt decode: native C++ (thread-pool block fan-out) when built,
+    numpy oracle otherwise.  The batched/sharded device paths live in
+    kernels/ and parallel/."""
+    from ..runtime import native
+
+    if native.load() is not None:
+        return native.mt_decode(blob, bits, n)
+    return mt_decode_py(blob, bits, n)
+
+
+def mt_decode_py(blob: bytes | np.ndarray, bits: int, n: int) -> bytes | None:
+    """Sequential (single-stream) numpy decode — the correctness oracle."""
     idx = block_index(blob, n)
     if idx is None:
         return None

@@ -105,6 +105,28 @@ def encode_groups(
     return words, emits, states
 
 
+def raw_encode(data: bytes | np.ndarray, bits: int, n_lanes: int) -> bytes:
+    """Raw encode with a whole-input histogram: native C++ when built
+    (identical bytes — tests/test_native_codec.py), numpy fallback."""
+    from ..models.histogram import make_hist
+    from ..runtime import native
+
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    fast = native.raw_encode(arr, bits, n_lanes)
+    if fast is not None:
+        return fast
+    return raw_encode_16w(arr, make_hist(arr, bits), n_lanes)
+
+
+def raw_decode(blob: bytes | np.ndarray, bits: int, n_lanes: int) -> bytes | None:
+    """Raw decode: native C++ when built, numpy oracle otherwise."""
+    from ..runtime import native
+
+    if native.load() is not None:
+        return native.raw_decode(blob, bits, n_lanes)
+    return raw_decode_16w(blob, bits, n_lanes)
+
+
 def raw_encode_16w(data: bytes | np.ndarray, hist: Hist, n_lanes: int) -> bytes:
     """Encode one buffer with a static histogram; returns the wire blob."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)

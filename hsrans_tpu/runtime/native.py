@@ -92,6 +92,19 @@ def load(build_if_missing: bool = True):
         ctypes.POINTER(PlanRow),
         ctypes.c_int64,
     ]
+    buf_sig = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint64,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+    ]
+    for fn in ("hsr_raw_encode", "hsr_raw_decode", "hsr_block_encode", "hsr_block_decode", "hsr_mt_encode"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = buf_sig
+    lib.hsr_mt_decode.restype = ctypes.c_int64
+    lib.hsr_mt_decode.argtypes = buf_sig + [ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -198,3 +211,60 @@ def plan_blocks(data: np.ndarray, bits: int, mode: str, state_count: int) -> lis
             }
         )
     return out
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _codec_encode(fn_name: str, data: np.ndarray, bits: int, n: int, capacity: int) -> bytes | None:
+    lib = load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.zeros(capacity, dtype=np.uint8)
+    got = getattr(lib, fn_name)(_u8p(data), data.size, _u8p(out), out.size, bits, n)
+    return out[:got].tobytes() if got >= 0 else None
+
+
+def _codec_decode(fn_name: str, blob, bits: int, n: int, *extra) -> bytes | None:
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, bytearray, memoryview)) else np.ascontiguousarray(blob, dtype=np.uint8)
+    if buf.size < 16:
+        return None
+    length = int.from_bytes(buf[:8].tobytes(), "little")
+    if length > (1 << 40):
+        return None  # implausible header; avoid huge allocation
+    out = np.zeros(max(length, 1), dtype=np.uint8)
+    got = getattr(lib, fn_name)(_u8p(buf), buf.size, _u8p(out), out.size, bits, n, *extra)
+    return out[:got].tobytes() if got >= 0 else None
+
+
+def raw_encode(data: np.ndarray, bits: int, n: int) -> bytes | None:
+    """Native rANS32xN 16w raw encode (hist computed internally)."""
+    return _codec_encode("hsr_raw_encode", data, bits, n, data.size + n * 8 + 1024 + (data.size >> 2))
+
+
+def raw_decode(blob, bits: int, n: int) -> bytes | None:
+    return _codec_decode("hsr_raw_decode", blob, bits, n)
+
+
+def block_encode(data: np.ndarray, bits: int, n: int) -> bytes | None:
+    cap = data.size + (data.size >> 2) + ((data.size >> 15) + 4) * (8 + 512) + n * 8 + 1024
+    return _codec_encode("hsr_block_encode", data, bits, n, cap)
+
+
+def block_decode(blob, bits: int, n: int) -> bytes | None:
+    return _codec_decode("hsr_block_decode", blob, bits, n)
+
+
+def mt_encode(data: np.ndarray, bits: int, n: int) -> bytes | None:
+    cap = data.size + (data.size >> 2) + ((data.size >> 15) + 4) * (16 + 512 + 4 * n) + n * 8 + 1024
+    return _codec_encode("hsr_mt_encode", data, bits, n, cap)
+
+
+def mt_decode(blob, bits: int, n: int, threads: int = 0) -> bytes | None:
+    """Native mt decode; blocks fan out to the C++ thread pool."""
+    return _codec_decode("hsr_mt_decode", blob, bits, n, threads)

@@ -1,0 +1,681 @@
+// hsrans_tpu native host codecs.
+//
+// The single-stream wire formats (raw rANS32xN, block_rANS32xN) are
+// inherently serial: one interleaved word stream, one set of carried
+// states, so a device kernel can only ever use N lanes of parallelism per
+// blob (docs/PARITY.md).  The host tier therefore carries scalar C++
+// codecs for them — the same division of labor as the reference, whose
+// encoders are scalar C++ too (README.md:26).  These are *not* transcribed
+// from the reference: they are table-driven, runtime-parameterized over the
+// lane count (the reference instantiates C++ templates per B and
+// hand-unrolls AVX variants per width), use reciprocal-multiply division
+// (the reference's encoders divide), and share one section state machine
+// across raw/block/mt.  Wire parity is enforced against the numpy authority
+// (hsrans_tpu/ops/*.py) and reference golden vectors by tests/.
+//
+// Formats (semantics mirrored from ops/reference.py, ops/block.py,
+// ops/mt.py; original layouts per rANS32x32_16w.cpp:130-158,
+// block_rANS32x64_16w_decode.cpp:12-126, mt_rANS32x64_16w_encode.cpp:266-298):
+//   raw:   u64 rawLen | u64 totalLen | 256*u16 freq | N*u32 states | words
+//   block: u64 rawLen | u64 totalLen | N*u32 states |
+//          per block: u64 size-or-RLE-indicator [| 256*u16 freq | words]
+//   mt:    u64 rawLen | u64 totalLen | per block: indicator or
+//          u64 size | u64 writeHeadOffset | N*u32 states | 256*u16 | words
+//
+// Build: make -C native  ->  libhsrans_native.so (single shared object with
+// hsrans_native.cpp).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+// from hsrans_native.cpp (same shared object)
+extern "C" {
+void hsr_observe_hist(const uint8_t *data, uint64_t size, uint32_t hist[256]);
+void hsr_normalize_hist(const uint32_t *hist, uint64_t data_bytes, uint32_t bits,
+                        uint16_t out_freq[256], uint16_t out_cumul[256]);
+struct SegPlanRow {
+  uint64_t start, size;
+  uint32_t is_single, symbol;
+  uint16_t freq[256];
+};
+int64_t hsr_plan_blocks(const uint8_t *data, uint64_t length, uint32_t bits,
+                        uint32_t mode, uint64_t state_count, SegPlanRow *rows,
+                        int64_t max_rows);
+void *hsr_pool_new(int32_t threads);
+void hsr_pool_destroy(void *pool);
+typedef void (*hsr_task_fn)(void *arg);
+void hsr_pool_add(void *pool, hsr_task_fn fn, void *arg);
+void hsr_pool_await(void *pool);
+}
+
+namespace {
+
+constexpr uint32_t kConsumePoint = 1u << 15;
+constexpr uint64_t kSingleBit = 1ull << 63;
+constexpr uint32_t kSymShift = 54;
+constexpr uint64_t kSizeMask = (1ull << 54) - 1;
+
+// idx2idx lane->byte-offset permutation (rans.py:_interleave_perm): lane j
+// of a group of N bytes encodes byte group_base + perm[j].  Compile-time so
+// the templated lane loops see constant offsets.
+template <uint32_t N>
+struct Perm {
+  uint8_t p[N];
+  constexpr Perm() : p() {
+    constexpr uint8_t p16[16] = {0, 1, 2, 3, 8, 9, 10, 11, 4, 5, 6, 7, 12, 13, 14, 15};
+    for (uint32_t j = 0; j < N; j++) {
+      if (N == 16) {
+        p[j] = p16[j];
+      } else {
+        const uint32_t half = (j >> 5) << 5;  // 64 lanes = two 32-lane halves
+        const uint32_t q = j & 31;            // 32-wide pattern from two 16s
+        p[j] = (uint8_t)(half + ((q >> 3) << 2) + ((q & 4) << 2) + (q & 3));
+      }
+    }
+  }
+};
+
+// One interleaved entry per symbol (a single cache line per 4 symbols):
+// the emit threshold (2^(31-B) * freq < 2^31, so it fits u32) is
+// precomputed to keep the lane step at two multiplies.
+struct EncSym {
+  uint16_t freq, cumul;
+  uint32_t magic;  // ceil(2^(31+shift)/freq): q = ((m*s)>>31)>>shift
+  uint32_t shift;
+  uint32_t emit_at;  // (2^15 >> bits) << 16) * freq
+};
+
+struct EncTable {
+  EncSym sym[256];
+  uint32_t bits;
+};
+
+void build_enc_table(const uint16_t freq[256], uint32_t bits, EncTable *t) {
+  const uint32_t emit_point = (kConsumePoint >> bits) << 16;
+  uint32_t c = 0;
+  for (int i = 0; i < 256; i++) {
+    const uint32_t d = freq[i] ? freq[i] : 1;
+    uint32_t l = 0;
+    while ((1u << l) < d) l++;
+    t->sym[i].freq = freq[i];
+    t->sym[i].cumul = (uint16_t)c;
+    t->sym[i].magic = (uint32_t)(((((uint64_t)1 << (31 + l)) + d - 1) / d));
+    t->sym[i].shift = l;
+    t->sym[i].emit_at = emit_point * (uint32_t)freq[i];
+    c += freq[i];
+  }
+  t->bits = bits;
+}
+
+struct DecTable {
+  // B<=12: one packed u32 per slot (sym | cumul<<8 | freq<<20).
+  // B>=13: sym per slot + freq/cumul by symbol (fields fit u16 there).
+  std::vector<uint32_t> pack;
+  std::vector<uint8_t> sym;
+  uint32_t freq[256];
+  uint32_t cumul[256];
+  uint32_t bits;
+  bool packed;
+};
+
+bool build_dec_table(const uint16_t freq[256], uint32_t bits, DecTable *t) {
+  const uint32_t total = 1u << bits;
+  uint64_t sum = 0;
+  for (int i = 0; i < 256; i++) sum += freq[i];
+  if (sum != total) return false;  // malformed histogram
+  t->bits = bits;
+  t->packed = bits <= 12;
+  uint32_t c = 0;
+  if (t->packed) {
+    // sym | cumul<<8 | (freq-1)<<20: freq-1 keeps the full-mass case
+    // (freq == 2^12) inside the 12-bit field
+    t->pack.resize(total);
+    for (uint32_t s = 0; s < 256; s++) {
+      for (uint32_t k = 0; k < freq[s]; k++)
+        t->pack[c + k] = s | (c << 8) | (((uint32_t)freq[s] - 1) << 20);
+      c += freq[s];
+    }
+  } else {
+    t->sym.resize(total);
+    for (uint32_t s = 0; s < 256; s++) {
+      t->freq[s] = freq[s];
+      t->cumul[s] = c;
+      memset(t->sym.data() + c, (int)s, freq[s]);
+      c += freq[s];
+    }
+  }
+  return true;
+}
+
+// --- shared section state machines -----------------------------------------
+//
+// Encode runs BACKWARD over lane groups (rANS is LIFO), lanes descending,
+// emitting words to a back-to-front cursor; the forward stream is then
+// (group ascending, lane ascending), which is what decode consumes
+// (ops/reference.py:encode_groups).  Templated on the lane count so the
+// inner loops fully unroll with constant permutation offsets.
+
+struct Coder {
+  uint32_t n;
+  uint32_t states[64];
+};
+
+inline void enc_lane(uint32_t &state, uint8_t b, const EncTable *t, uint16_t *&pw) {
+  const EncSym e = t->sym[b];
+  if (state >= e.emit_at) {
+    *--pw = (uint16_t)state;
+    state >>= 16;
+  }
+  const uint32_t q = (uint32_t)((((uint64_t)e.magic * state) >> 31) >> e.shift);
+  state = (q << t->bits) + e.cumul + (state - q * e.freq);
+}
+
+// Encode [start, end) (end == length may include the partial tail group).
+// Words are written backward from *pw; returns the new cursor.
+template <uint32_t N>
+uint16_t *encode_span_t(Coder *co, const uint8_t *data, uint64_t start, uint64_t end,
+                        uint64_t length, const EncTable *t, uint16_t *pw) {
+  constexpr Perm<N> perm;
+  const uint64_t span = end - start;
+  const uint64_t total_groups = (span + N - 1) / N;
+  if (!total_groups) return pw;
+  uint32_t *st = co->states;
+  // tail (last) group first when it is partial
+  uint64_t g = total_groups;
+  const uint64_t tail_base = start + (total_groups - 1) * N;
+  if (tail_base + N > end || end > length) {
+    g--;
+    for (int64_t j = N - 1; j >= 0; j--) {
+      const uint64_t pos = tail_base + perm.p[j];
+      if (pos < (end < length ? end : length)) enc_lane(st[j], data[pos], t, pw);
+    }
+  }
+  while (g--) {
+    const uint8_t *base = data + start + g * N;
+    for (int64_t j = N - 1; j >= 0; j--)
+      enc_lane(st[j], base[perm.p[j]], t, pw);
+  }
+  return pw;
+}
+
+// Decode `num_groups` full groups into out[0..num_groups*N); then, if
+// tail_start < length, the masked partial group.  Returns words consumed,
+// or -1 if the stream would overrun (malformed input).
+template <uint32_t N>
+int64_t decode_span_t(Coder *co, const DecTable *t, const uint16_t *stream,
+                      uint64_t nwords, uint64_t r, uint8_t *out, uint64_t out_pos,
+                      uint64_t num_groups, uint64_t tail_start, uint64_t length) {
+  constexpr Perm<N> perm;
+  const uint32_t mask = (1u << t->bits) - 1;
+  const uint32_t bits = t->bits;
+  uint32_t *st = co->states;
+  if (t->packed) {
+    const uint32_t *pk = t->pack.data();
+    for (uint64_t g = 0; g < num_groups; g++) {
+      uint8_t *og = out + out_pos + g * N;
+      if (r + N > nwords + N) return -1;  // padded slack: one group max
+      for (uint32_t j = 0; j < N; j++) {
+        uint32_t s = st[j];
+        const uint32_t v = pk[s & mask];
+        og[perm.p[j]] = (uint8_t)v;
+        s = (s >> bits) * ((v >> 20) + 1) + (s & mask) - ((v >> 8) & 0xFFF);
+        // branchy renorm on purpose: a cmov makes the read cursor a data
+        // dependency (each lane's load waits on the previous lane's r);
+        // the predicted branch lets the cursor speculate ahead
+        if (s < kConsumePoint) s = (s << 16) | stream[r++];
+        st[j] = s;
+      }
+    }
+  } else {
+    const uint8_t *sy = t->sym.data();
+    for (uint64_t g = 0; g < num_groups; g++) {
+      uint8_t *og = out + out_pos + g * N;
+      if (r + N > nwords + N) return -1;
+      for (uint32_t j = 0; j < N; j++) {
+        uint32_t s = st[j];
+        const uint32_t slot = s & mask;
+        const uint8_t b = sy[slot];
+        og[perm.p[j]] = b;
+        s = (s >> bits) * t->freq[b] + slot - t->cumul[b];
+        if (s < kConsumePoint) s = (s << 16) | stream[r++];
+        st[j] = s;
+      }
+    }
+  }
+  if (tail_start < length) {
+    if (r + N > nwords + N) return -1;
+    for (uint32_t j = 0; j < N; j++) {
+      const uint64_t pos = tail_start + perm.p[j];
+      if (pos >= length) continue;
+      uint32_t s = st[j];
+      const uint32_t slot = s & mask;
+      uint32_t f, c;
+      uint8_t b;
+      if (t->packed) {
+        const uint32_t v = t->pack[slot];
+        b = (uint8_t)v;
+        c = (v >> 8) & 0xFFF;
+        f = (v >> 20) + 1;
+      } else {
+        b = t->sym[slot];
+        f = t->freq[b];
+        c = t->cumul[b];
+      }
+      out[pos] = b;
+      s = (s >> bits) * f + slot - c;
+      if (s < kConsumePoint) s = (s << 16) | stream[r++];
+      st[j] = s;
+    }
+  }
+  return (int64_t)r;
+}
+
+// runtime-n dispatch to the unrolled instantiations
+uint16_t *encode_span(Coder *co, const uint8_t *data, uint64_t start, uint64_t end,
+                      uint64_t length, const EncTable *t, uint16_t *pw) {
+  switch (co->n) {
+    case 16: return encode_span_t<16>(co, data, start, end, length, t, pw);
+    case 32: return encode_span_t<32>(co, data, start, end, length, t, pw);
+    default: return encode_span_t<64>(co, data, start, end, length, t, pw);
+  }
+}
+
+int64_t decode_span(Coder *co, const DecTable *t, const uint16_t *stream,
+                    uint64_t nwords, uint64_t r, uint8_t *out, uint64_t out_pos,
+                    uint64_t num_groups, uint64_t tail_start, uint64_t length) {
+  switch (co->n) {
+    case 16: return decode_span_t<16>(co, t, stream, nwords, r, out, out_pos, num_groups, tail_start, length);
+    case 32: return decode_span_t<32>(co, t, stream, nwords, r, out, out_pos, num_groups, tail_start, length);
+    default: return decode_span_t<64>(co, t, stream, nwords, r, out, out_pos, num_groups, tail_start, length);
+  }
+}
+
+void init_coder(Coder *co, uint32_t n) {
+  co->n = n;
+  for (uint32_t j = 0; j < n; j++) co->states[j] = kConsumePoint;
+}
+
+inline void put_u64(uint8_t *p, uint64_t v) { memcpy(p, &v, 8); }
+inline uint64_t get_u64(const uint8_t *p) { uint64_t v; memcpy(&v, p, 8); return v; }
+
+// Padded copy of a blob's u16 word region (decoders may read one group of
+// slack past the end mid-renorm; numpy authority pads identically).
+std::vector<uint16_t> pad_words(const uint8_t *p, uint64_t bytes, uint32_t n) {
+  std::vector<uint16_t> w(bytes / 2 + 2 * n + 4, 0);
+  memcpy(w.data(), p, (bytes / 2) * 2);
+  return w;
+}
+
+}  // namespace
+
+extern "C" {
+
+// --- raw rANS32xN 16w --------------------------------------------------------
+
+int64_t hsr_raw_encode(const uint8_t *data, uint64_t size, uint8_t *out,
+                       uint64_t cap, uint32_t bits, uint32_t n) {
+  if (bits < 10 || bits > 15 || (n != 16 && n != 32 && n != 64)) return -1;
+  uint32_t counts[256] = {};
+  uint16_t freq[256], cumul[256];
+  if (size) {
+    hsr_observe_hist(data, size, counts);
+  } else {
+    counts[0] = 1;
+  }
+  hsr_normalize_hist(counts, size ? size : 1, bits, freq, cumul);
+
+  EncTable t;
+  build_enc_table(freq, bits, &t);
+  Coder co;
+  init_coder(&co, n);
+
+  std::vector<uint16_t> scratch(size / 2 + 2 * n + 8);
+  uint16_t *pend = scratch.data() + scratch.size();
+  uint16_t *pw = encode_span(&co, data, 0, size, size, &t, pend);
+  const uint64_t w_count = (uint64_t)(pend - pw);
+
+  const uint64_t total = 16 + 512 + 4ull * n + 2 * w_count;
+  if (total > cap) return -1;
+  put_u64(out, size);
+  put_u64(out + 8, total);
+  memcpy(out + 16, freq, 512);
+  memcpy(out + 16 + 512, co.states, 4ull * n);
+  memcpy(out + 16 + 512 + 4ull * n, pw, 2 * w_count);
+  return (int64_t)total;
+}
+
+int64_t hsr_raw_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
+                       uint64_t cap, uint32_t bits, uint32_t n) {
+  if (bits < 10 || bits > 15 || (n != 16 && n != 32 && n != 64)) return -1;
+  if (size < 16 + 512 + 4ull * n) return -1;
+  const uint64_t length = get_u64(blob);
+  if (get_u64(blob + 8) > size || length > cap) return -1;
+  uint16_t freq[256];
+  memcpy(freq, blob + 16, 512);
+  DecTable t;
+  if (!build_dec_table(freq, bits, &t)) return -1;
+  Coder co;
+  init_coder(&co, n);
+  memcpy(co.states, blob + 16 + 512, 4ull * n);
+
+  const uint64_t off = 16 + 512 + 4ull * n;
+  auto words = pad_words(blob + off, size - off, n);
+  const uint64_t nwords = (size - off) / 2;
+
+  const uint64_t full = length + 1 > n ? (length - n + 1 + n - 1) / n : 0;
+  const uint64_t tail_start = full * n;
+  if (decode_span(&co, &t, words.data(), nwords, 0, out, 0, full,
+                  tail_start < length ? tail_start : length, length) < 0)
+    return -1;
+  return (int64_t)length;
+}
+
+// --- block_rANS32xN 16w ------------------------------------------------------
+
+int64_t hsr_block_encode(const uint8_t *data, uint64_t size, uint8_t *out,
+                         uint64_t cap, uint32_t bits, uint32_t n) {
+  if (bits < 10 || bits > 15 || (n != 32 && n != 64)) return -1;
+  const uint64_t hdr = 16 + 4ull * n;
+  if (size == 0) {
+    if (cap < hdr) return -1;
+    put_u64(out, 0);
+    put_u64(out + 8, hdr);
+    for (uint64_t j = 0; j < n; j++) memcpy(out + 16 + 4 * j, &kConsumePoint, 4);
+    return (int64_t)hdr;
+  }
+  const int64_t max_rows = (int64_t)(size >> 15) + 4;
+  std::vector<SegPlanRow> rows(max_rows);
+  const int64_t n_rows = hsr_plan_blocks(data, size, bits, 0, n, rows.data(), max_rows);
+  if (n_rows <= 0) return -1;
+
+  Coder co;
+  init_coder(&co, n);
+  EncTable t;
+  // per-row word streams, encoded in planner order (= LIFO: last block
+  // first); emitted backward into one scratch, sliced per row
+  std::vector<uint16_t> scratch(size / 2 + 2ull * n * (uint64_t)n_rows + 16);
+  uint16_t *pend = scratch.data() + scratch.size();
+  uint16_t *pw = pend;
+  std::vector<uint64_t> w_count(n_rows);
+  for (int64_t k = 0; k < n_rows; k++) {
+    const SegPlanRow &row = rows[k];
+    if (row.is_single) {
+      w_count[k] = 0;
+      continue;
+    }
+    uint16_t *prev = pw;
+    build_enc_table(row.freq, bits, &t);
+    pw = encode_span(&co, data, row.start, row.start + row.size, size, &t, pw);
+    w_count[k] = (uint64_t)(prev - pw);
+  }
+
+  // block k's words live at [pend - pre[k+1], pend - pre[k]) in the
+  // back-to-front scratch (k in processing order = input-last first)
+  std::vector<uint64_t> pre(n_rows + 1, 0);
+  for (int64_t k = 0; k < n_rows; k++) pre[k + 1] = pre[k] + w_count[k];
+
+  uint8_t *o = out + hdr;
+  uint8_t *const oend = out + cap;
+  for (int64_t k = n_rows - 1; k >= 0; k--) {  // forward input order
+    const SegPlanRow &row = rows[k];
+    if (row.is_single) {
+      if (o + 8 > oend) return -1;
+      put_u64(o, row.size | kSingleBit | ((uint64_t)row.symbol << kSymShift));
+      o += 8;
+      continue;
+    }
+    const uint16_t *pr = pend - pre[k + 1];
+    if (o + 8 + 512 + 2 * w_count[k] > oend) return -1;
+    put_u64(o, row.size);
+    memcpy(o + 8, row.freq, 512);
+    memcpy(o + 8 + 512, pr, 2 * w_count[k]);
+    o += 8 + 512 + 2 * w_count[k];
+  }
+  put_u64(out, size);
+  put_u64(out + 8, (uint64_t)(o - out));
+  memcpy(out + 16, co.states, 4ull * n);
+  return o - out;
+}
+
+int64_t hsr_block_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
+                         uint64_t cap, uint32_t bits, uint32_t n) {
+  if (bits < 10 || bits > 15 || (n != 32 && n != 64)) return -1;
+  if (size < 16 + 4ull * n + 8) return -1;
+  const uint64_t length = get_u64(blob);
+  if (get_u64(blob + 8) > size || length > cap) return -1;
+  if (length == 0) return 0;
+  Coder co;
+  init_coder(&co, n);
+  memcpy(co.states, blob + 16, 4ull * n);
+  auto words = pad_words(blob + 16 + 4ull * n, size - 16 - 4ull * n, n);
+  const uint64_t nwords = (size - 16 - 4ull * n) / 2;
+  const uint16_t *stream = words.data();
+
+  const uint64_t out_len_states = length + 1 > n ? length - n + 1 : 0;
+  DecTable t;
+  bool have_table = false;
+  uint64_t i = 0, r = 0;
+  while (true) {
+    if (r + 4 > nwords) return -1;
+    const uint64_t val = get_u64((const uint8_t *)(stream + r));
+    r += 4;
+    if (val & kSingleBit) {
+      const uint64_t bs = val & kSizeMask;
+      if (i + bs > length) return -1;
+      memset(out + i, (int)((val >> kSymShift) & 0xFF), bs);
+      i += bs;
+    } else {
+      if (r + 256 > nwords) return -1;
+      uint16_t freq[256];
+      memcpy(freq, stream + r, 512);
+      r += 256;
+      if (!build_dec_table(freq, bits, &t)) return -1;
+      have_table = true;
+      uint64_t block_end = i + val;
+      if (block_end > out_len_states) block_end = out_len_states;
+      else if (block_end & (n - 1)) return -1;
+      const uint64_t groups = block_end > i ? (block_end - i + n - 1) / n : 0;
+      const int64_t nr = decode_span(&co, &t, stream, nwords, r, out, i, groups, length, length);
+      if (nr < 0) return -1;
+      r = (uint64_t)nr;
+      i += groups * n;
+    }
+    if (i >= out_len_states) break;
+  }
+  if (i < length) {
+    if (!have_table) return -1;
+    if (decode_span(&co, &t, stream, nwords, r, out, 0, 0, i, length) < 0) return -1;
+  }
+  return (int64_t)length;
+}
+
+// --- mt_rANS32xN 16w ---------------------------------------------------------
+
+int64_t hsr_mt_encode(const uint8_t *data, uint64_t size, uint8_t *out,
+                      uint64_t cap, uint32_t bits, uint32_t n) {
+  if (bits < 10 || bits > 15 || (n != 32 && n != 64)) return -1;
+  if (size == 0) {
+    if (cap < 16) return -1;
+    put_u64(out, 0);
+    put_u64(out + 8, 16);
+    return 16;
+  }
+  const int64_t max_rows = (int64_t)(size >> 15) + 4;
+  std::vector<SegPlanRow> rows(max_rows);
+  const int64_t n_rows = hsr_plan_blocks(data, size, bits, 1, n, rows.data(), max_rows);
+  if (n_rows <= 0) return -1;
+
+  Coder co;
+  init_coder(&co, n);
+  EncTable t;
+  std::vector<uint16_t> scratch(size / 2 + 2ull * n * (uint64_t)n_rows + 16);
+  uint16_t *pend = scratch.data() + scratch.size();
+  uint16_t *pw = pend;
+  std::vector<uint64_t> w_count(n_rows);
+  // per-block state snapshots: block k's decoder starts from the encoder's
+  // states *after* block k was (LIFO-)encoded (ops/mt.py)
+  std::vector<uint32_t> snaps((uint64_t)n_rows * n);
+  for (int64_t k = 0; k < n_rows; k++) {
+    const SegPlanRow &row = rows[k];
+    if (row.is_single) {
+      w_count[k] = 0;
+      continue;
+    }
+    uint16_t *prev = pw;
+    build_enc_table(row.freq, bits, &t);
+    pw = encode_span(&co, data, row.start, row.start + row.size, size, &t, pw);
+    w_count[k] = (uint64_t)(prev - pw);
+    memcpy(snaps.data() + (uint64_t)k * n, co.states, 4ull * n);
+  }
+
+  std::vector<uint64_t> pre(n_rows + 1, 0);
+  for (int64_t k = 0; k < n_rows; k++) pre[k + 1] = pre[k] + w_count[k];
+
+  uint8_t *o = out + 16;
+  uint8_t *const oend = out + cap;
+  for (int64_t k = n_rows - 1; k >= 0; k--) {
+    const SegPlanRow &row = rows[k];
+    if (row.is_single) {
+      if (o + 8 > oend) return -1;
+      put_u64(o, row.size | kSingleBit | ((uint64_t)row.symbol << kSymShift));
+      o += 8;
+      continue;
+    }
+    const uint16_t *pr = pend - pre[k + 1];
+    if (o + 16 + 4ull * n + 512 + 2 * w_count[k] > oend) return -1;
+    // words from the states field (+1) to the next block's size field; the
+    // last input block's offset points at the stream end slot instead
+    const uint64_t offset = 2ull * n + 256 + w_count[k] - (k == 0 ? 2 : 1);
+    put_u64(o, row.size);
+    put_u64(o + 8, offset);
+    memcpy(o + 16, snaps.data() + (uint64_t)k * n, 4ull * n);
+    memcpy(o + 16 + 4ull * n, row.freq, 512);
+    memcpy(o + 16 + 4ull * n + 512, pr, 2 * w_count[k]);
+    o += 16 + 4ull * n + 512 + 2 * w_count[k];
+  }
+  put_u64(out, size);
+  put_u64(out + 8, (uint64_t)(o - out));
+  return o - out;
+}
+
+namespace {
+
+struct MtBlockTask {
+  const uint16_t *stream;
+  uint64_t nwords, word_start;
+  uint64_t out_start, block_size, length;
+  const uint16_t *freq;  // points into the padded stream
+  const uint8_t *states_raw;
+  uint8_t *out;
+  uint32_t bits, n;
+  bool is_last;
+  std::atomic<int32_t> *fail;
+};
+
+void mt_block_worker(void *arg) {
+  auto *b = (MtBlockTask *)arg;
+  DecTable t;
+  uint16_t freq[256];
+  memcpy(freq, b->freq, 512);
+  if (!build_dec_table(freq, b->bits, &t)) {
+    b->fail->store(1);
+    return;
+  }
+  Coder co;
+  init_coder(&co, b->n);
+  memcpy(co.states, b->states_raw, 4ull * b->n);
+  const uint64_t out_len_states = b->length + 1 > b->n ? b->length - b->n + 1 : 0;
+  uint64_t block_end = b->out_start + b->block_size;
+  if (block_end > out_len_states) block_end = out_len_states;
+  const uint64_t groups =
+      block_end > b->out_start ? (block_end - b->out_start + b->n - 1) / b->n : 0;
+  int64_t r = decode_span(&co, &t, b->stream, b->nwords, b->word_start, b->out,
+                          b->out_start, groups, b->length, b->length);
+  if (r < 0) {
+    b->fail->store(1);
+    return;
+  }
+  if (b->is_last && b->out_start + groups * b->n < b->length) {
+    // trailing partial lane group belongs to the last coded block's chain
+    if (decode_span(&co, &t, b->stream, b->nwords, (uint64_t)r, b->out, 0, 0,
+                    b->out_start + groups * b->n, b->length) < 0)
+      b->fail->store(1);
+  }
+}
+
+}  // namespace
+
+int64_t hsr_mt_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
+                      uint64_t cap, uint32_t bits, uint32_t n, int32_t threads) {
+  if (bits < 10 || bits > 15 || (n != 32 && n != 64)) return -1;
+  if (size < 16) return -1;
+  const uint64_t length = get_u64(blob);
+  if (get_u64(blob + 8) > size || length > cap) return -1;
+  if (length == 0) return 0;
+  auto words = pad_words(blob + 16, size - 16, n);
+  const uint64_t nwords = (size - 16) / 2;
+  const uint16_t *stream = words.data();
+  const uint64_t out_len_states = length + 1 > n ? length - n + 1 : 0;
+
+  // header walk (the writeHeadOffset chain) -> independent block tasks
+  std::vector<MtBlockTask> tasks;
+  tasks.reserve(64);
+  std::atomic<int32_t> fail{0};
+  uint64_t i = 0, r = 0;
+  int64_t last_coded = -1;
+  while (i < length) {
+    if (r + 4 > nwords) return -1;
+    const uint64_t val = get_u64((const uint8_t *)(stream + r));
+    r += 4;
+    if (val & kSingleBit) {
+      const uint64_t bs = val & kSizeMask;
+      if (i + bs > length) return -1;
+      memset(out + i, (int)((val >> kSymShift) & 0xFF), bs);
+      i += bs;
+      continue;
+    }
+    if (r + 4 + 2ull * n + 256 > nwords + 2ull * n) return -1;
+    const uint64_t offset = get_u64((const uint8_t *)(stream + r));
+    r += 4;
+    const uint64_t states_pos = r;
+    const uint8_t *states_raw = (const uint8_t *)(stream + r);
+    r += 2ull * n;
+    const uint16_t *freq = stream + r;
+    r += 256;
+    MtBlockTask task;
+    task.stream = stream;
+    task.nwords = nwords;
+    task.word_start = r;
+    task.out_start = i;
+    task.block_size = val < length - i ? val : length - i;
+    task.length = length;
+    task.freq = freq;
+    task.states_raw = states_raw;
+    task.out = out;
+    task.bits = bits;
+    task.n = n;
+    task.is_last = i + val > out_len_states;
+    task.fail = &fail;
+    last_coded = (int64_t)tasks.size();
+    tasks.push_back(task);
+    i += val;
+    if (task.is_last) break;
+    r = states_pos + offset + 1;
+  }
+  (void)last_coded;
+
+  if (tasks.size() <= 1 || threads == 1) {
+    for (auto &task : tasks) mt_block_worker(&task);
+  } else {
+    void *pool = hsr_pool_new(threads);
+    for (auto &task : tasks) hsr_pool_add(pool, mt_block_worker, &task);
+    hsr_pool_await(pool);
+    hsr_pool_destroy(pool);
+  }
+  return fail.load() ? -1 : (int64_t)length;
+}
+
+}  // extern "C"

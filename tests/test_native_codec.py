@@ -1,0 +1,85 @@
+"""Native C++ codecs vs the numpy wire authority: identical bytes.
+
+The public ops functions dispatch to native/hsrans_codec.cpp when built;
+these tests pin that dispatch to the pure-numpy `_py` bodies byte-for-byte
+(encode) and output-for-output (decode), across lane widths, histogram
+depths, and tail/RLE shapes.  Golden-vector tests (test_raw.py,
+test_block_mt.py) separately pin both to the compiled C++ reference.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hsrans_tpu.models.histogram import make_hist
+from hsrans_tpu.ops import block, mt, reference
+from hsrans_tpu.runtime import native
+
+CORPUS = Path(__file__).parent / "corpus" / "corpus.bin"
+
+
+def _native_or_skip():
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+
+
+def _data(size, off=0):
+    return np.fromfile(CORPUS, np.uint8)[off : off + size]
+
+
+@pytest.mark.parametrize("n", (16, 32, 64))
+@pytest.mark.parametrize("bits", (10, 12, 15))
+def test_raw_native_matches_numpy(n, bits):
+    _native_or_skip()
+    for size in (0, 63, 70001, 200_000):
+        d = _data(size)
+        a = reference.raw_encode_16w(d, make_hist(d, bits) if size else make_hist(np.zeros(1, np.uint8), bits), n)
+        b = native.raw_encode(d, bits, n)
+        assert a == b, f"size={size}"
+        assert native.raw_decode(a, bits, n) == d.tobytes()
+        assert reference.raw_decode_16w(b, bits, n) == d.tobytes()
+
+
+@pytest.mark.parametrize("n", (32, 64))
+@pytest.mark.parametrize("bits", (10, 12, 13, 15))
+def test_block_native_matches_numpy(n, bits):
+    _native_or_skip()
+    d = _data(200_000, off=3 << 20)  # spans the corpus RLE run (singles)
+    a = block.block_encode_py(d, bits, n)
+    assert native.block_encode(d, bits, n) == a
+    assert native.block_decode(a, bits, n) == d.tobytes()
+    assert block.block_decode_py(a, bits, n) == d.tobytes()
+
+
+@pytest.mark.parametrize("n", (32, 64))
+@pytest.mark.parametrize("bits", (12, 15))
+def test_mt_native_matches_numpy(n, bits):
+    _native_or_skip()
+    d = _data(200_001, off=3 << 20)
+    a = mt.mt_encode_py(d, bits, n)
+    assert native.mt_encode(d, bits, n) == a
+    assert native.mt_decode(a, bits, n) == d.tobytes()  # pooled fan-out
+    assert native.mt_decode(a, bits, n, threads=1) == d.tobytes()
+    assert mt.mt_decode_py(a, bits, n) == d.tobytes()
+
+
+def test_native_decode_rejects_malformed():
+    _native_or_skip()
+    d = _data(70_000)
+    blob = bytearray(native.block_encode(d, 12, 64))
+    assert native.block_decode(bytes(blob[: len(blob) // 2]), 12, 64) is None
+    blob[16 + 300] ^= 0xFF  # corrupt a freq byte: sum != 2^B -> reject
+    assert native.block_decode(bytes(blob), 12, 64) is None
+    mt_blob = native.mt_encode(d, 12, 64)
+    assert native.mt_decode(mt_blob[:40], 12, 64) is None
+
+
+def test_public_ops_dispatch_native():
+    """The public block/mt/raw entry points return authority bytes."""
+    _native_or_skip()
+    d = _data(100_000)
+    assert block.block_encode(d, 12, 64) == block.block_encode_py(d, 12, 64)
+    assert mt.mt_encode(d, 12, 64) == mt.mt_encode_py(d, 12, 64)
+    assert reference.raw_encode(d, 12, 64) == reference.raw_encode_16w(d, make_hist(d, 12), 64)
+    assert block.block_decode(block.block_encode(d, 12, 64), 12, 64) == d.tobytes()
