@@ -410,12 +410,12 @@ def tpx_encode_tpu(
     (models/jax_hist) instead of the host — the fully fused pipeline; the
     wire bytes are identical either way (the device normalizer is
     bit-exact with the host one)."""
-    p = p or TpxParams(bits=bits)
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    length = arr.size
+    p = p or TpxParams.auto(length, bits)
     bits = p.bits
     if p.lanes != L or p.steps % 4 or p.rows % 8:
         raise ValueError("kernel encode requires lanes=128, steps%4==0, rows%8==0")
-    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
-    length = arr.size
     s4c = p.steps // 4
     # rc=128 keeps the concat kernel's double-buffered win/out blocks inside
     # VMEM (rc=256 oversubscribes and the remote compile helper dies); it

@@ -67,7 +67,11 @@ from ..models.tables import make_cumul_inv
 from ..rans import DECODE_CONSUME_POINT_16, encode_emit_point_16
 
 _U32 = np.uint32
-MAGIC = b"HSRTPX01"
+MAGIC = b"HSRTPX01"  # v1: rectangular per-mega [T, R, W] stream section
+MAGIC2 = b"HSRTPX02"  # v2: ragged streams (exact per-row slots; counts are
+#                       already in the wire, so padding never hits the wire
+#                       — the rectangular layout is rebuilt at parse time
+#                       for the kernels).  Encoders emit v2; both parse.
 
 # Defaults tuned on v5e (docs/KERNEL_NOTES.md): the VPU is latency-bound on
 # serial op chains, so throughput scales with rows until ~1024; tiles per
@@ -93,6 +97,15 @@ class TpxParams:
     @property
     def mega_bytes(self) -> int:
         return self.rows * self.row_span
+
+    @classmethod
+    def auto(cls, length: int, bits: int = 12) -> "TpxParams":
+        """Geometry scaled to the input: small inputs get fewer rows so the
+        per-mega state header (rows*lanes*4 bytes) stays a small fraction;
+        large inputs get the v5e throughput sweet spot (rows=1024)."""
+        rows = max(8, min(R, -(-length // (T * S * L))))  # one mega covers it
+        rows = -(-rows // 8) * 8
+        return cls(bits=bits, rows=rows)
 
 
 def make_rank_tables(hist: Hist) -> dict[str, np.ndarray]:
@@ -156,10 +169,10 @@ def _mega_layout(length: int, p: TpxParams) -> list[tuple[int, int, int]]:
 
 
 def tpx_encode(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = None) -> bytes:
-    p = p or TpxParams(bits=bits)
-    bits = p.bits
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     length = arr.size
+    p = p or TpxParams.auto(length, bits)
+    bits = p.bits
     emit_point = _U32(encode_emit_point_16(bits))
 
     out = tpx_header(length, p)
@@ -233,7 +246,7 @@ def tpx_encode(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = N
 def tpx_header(length: int, p: TpxParams) -> bytearray:
     """Wire header shared by the host and device encoders."""
     out = bytearray()
-    out += MAGIC
+    out += MAGIC2
     out += length.to_bytes(8, "little")
     out += b"\0" * 8
     for v in (p.bits, p.rows, p.lanes, p.steps, p.tiles):
@@ -242,14 +255,23 @@ def tpx_header(length: int, p: TpxParams) -> bytearray:
 
 
 def _write_mega(out, n_tiles, w_slots, states, freqs, counts, stream) -> None:
-    """Append one megablock (header fields + padded stream) to `out`."""
+    """Append one megablock to `out`: header fields, then (v2) each row's
+    exact ceil(words/2) stream slots back to back — the counts table already
+    in the header is what delimits them, so rectangular padding never
+    reaches the wire."""
     out += int(n_tiles).to_bytes(4, "little")
     out += int(w_slots).to_bytes(4, "little")
     out += states.astype("<u4").tobytes()
     for t in range(n_tiles):
         out += np.asarray(freqs[t]).astype("<u2").tobytes()
         out += np.asarray(counts[t]).astype("<u2").tobytes()
-    out += stream.astype("<u4").tobytes()
+    flat = np.ascontiguousarray(stream, dtype=np.uint32).reshape(-1, stream.shape[-1])
+    sc = (np.asarray(counts, dtype=np.int64).reshape(-1) + 1) // 2
+    starts = np.cumsum(sc) - sc
+    total = int(sc.sum())
+    row_of = np.repeat(np.arange(flat.shape[0]), sc)
+    col_of = np.arange(total) - np.repeat(starts, sc)
+    out += flat[row_of, col_of].astype("<u4").tobytes()
 
 
 @dataclass
@@ -268,8 +290,9 @@ def tpx_parse(blob: bytes | np.ndarray) -> tuple[TpxParams, int, list[TpxMega]] 
     reference's defensive-header error model, e.g.
     block_rANS32x64_16w_decode.cpp:15-32)."""
     buf = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, bytearray, memoryview)) else np.asarray(blob, dtype=np.uint8)
-    if buf.size < 44 or buf[:8].tobytes() != MAGIC:
+    if buf.size < 44 or buf[:8].tobytes() not in (MAGIC, MAGIC2):
         return None
+    ragged = buf[:8].tobytes() == MAGIC2
     length = int.from_bytes(buf[8:16].tobytes(), "little")
     bits, rows, lanes, steps, tiles = (int.from_bytes(buf[24 + 4 * i : 28 + 4 * i].tobytes(), "little") for i in range(5))
     if not (10 <= bits <= 15) or rows < 1 or lanes < 1 or steps < 1 or tiles < 1:
@@ -287,8 +310,8 @@ def tpx_parse(blob: bytes | np.ndarray) -> tuple[TpxParams, int, list[TpxMega]] 
         w_slots = int.from_bytes(buf[off + 4 : off + 8].tobytes(), "little")
         if n_tiles < 1 or n_tiles > tiles or w_slots < 1 or w_slots > steps * lanes:
             return None
-        need = 4 * rows * lanes + n_tiles * (512 + 2 * rows) + 4 * n_tiles * rows * w_slots
-        if off + 8 + need > buf.size:
+        need_hdr = 4 * rows * lanes + n_tiles * (512 + 2 * rows)
+        if off + 8 + need_hdr > buf.size:
             return None
         off += 8
         states = buf[off : off + 4 * rows * lanes].view("<u4").reshape(rows, lanes).astype(_U32)
@@ -300,9 +323,29 @@ def tpx_parse(blob: bytes | np.ndarray) -> tuple[TpxParams, int, list[TpxMega]] 
             off += 512
             counts[t] = buf[off : off + 2 * rows].view("<u2")
             off += 2 * rows
-        n_stream = n_tiles * rows * w_slots
-        stream = buf[off : off + 4 * n_stream].view("<u4").reshape(n_tiles, rows, w_slots).astype(np.uint32)
-        off += 4 * n_stream
+        if ragged:
+            # rebuild the rectangular [T, R, W] layout the kernels consume;
+            # the wire stores each row's exact ceil(words/2) slots
+            sc = (counts.astype(np.int64).reshape(-1) + 1) // 2
+            if sc.max(initial=0) > w_slots:
+                return None
+            total = int(sc.sum())
+            if off + 4 * total > buf.size:
+                return None
+            flat_words = buf[off : off + 4 * total].view("<u4")
+            off += 4 * total
+            stream = np.zeros((n_tiles * rows, w_slots), dtype=np.uint32)
+            starts = np.cumsum(sc) - sc
+            row_of = np.repeat(np.arange(n_tiles * rows), sc)
+            col_of = np.arange(total) - np.repeat(starts, sc)
+            stream[row_of, col_of] = flat_words
+            stream = stream.reshape(n_tiles, rows, w_slots)
+        else:
+            n_stream = n_tiles * rows * w_slots
+            if off + 4 * n_stream > buf.size:
+                return None
+            stream = buf[off : off + 4 * n_stream].view("<u4").reshape(n_tiles, rows, w_slots).astype(np.uint32)
+            off += 4 * n_stream
         megas.append(TpxMega(base, n_tiles, w_slots, states, freqs, counts, stream))
         base += rows * n_tiles * steps * lanes
     return p, length, megas

@@ -84,3 +84,40 @@ def test_tpx_kernel_interpret_high_bits(bits):
 def test_tpx_header_rejects_garbage():
     assert tpx_decode(b"NOTTPX00" + b"\0" * 64) is None
     assert tpx_decode(b"") is None
+
+
+def test_tpx_ratio_parity_on_real_corpus():
+    """VERDICT item: pin the ratio claims to real data.  On the checked-in
+    mixed text/binary corpus the block codec (bit-exact reference wire)
+    measures 0.603; tpx v2 must stay within 12% of it, and the v1
+    pathology (rectangular padding -> ratio 1.75) must never return."""
+    from pathlib import Path
+
+    from hsrans_tpu.ops.block import block_encode
+    from hsrans_tpu.ops.tpx import tpx_decode, tpx_encode
+
+    data = np.fromfile(Path(__file__).parent / "corpus" / "corpus.bin", np.uint8)
+    blob_block = block_encode(data, 12, 64)
+    blob_tpx = tpx_encode(data, 12)
+    r_block = len(blob_block) / data.size
+    r_tpx = len(blob_tpx) / data.size
+    assert r_block < 0.62, r_block  # reference-wire ratio on this corpus
+    assert r_tpx < r_block * 1.12, (r_tpx, r_block)
+    assert tpx_decode(blob_tpx) == data.tobytes()
+
+
+def test_tpx_auto_geometry_small_inputs():
+    """Small inputs get shrunk row counts: blobs stay near-entropy-sized
+    instead of paying a fixed 16 MiB megablock's headers."""
+    from hsrans_tpu.ops.tpx import TpxParams, tpx_decode, tpx_encode
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(77)
+    for size in (1000, 20_000, 300_000):
+        data = text_like(rng, size)
+        blob = tpx_encode(data, 12)
+        # floor = minimum geometry's state snapshot (8 rows x 128 lanes x 4)
+        assert len(blob) < size * 0.95 + 6000, (size, len(blob))
+        assert tpx_decode(blob) == data.tobytes()
+    p = TpxParams.auto(20_000, 12)
+    assert p.rows == 8 and p.mega_bytes >= 20_000
