@@ -1,17 +1,25 @@
-"""Benchmark: flagship tpx Pallas decode throughput on one TPU chip.
+"""Benchmark suite: device + host throughput and ratios vs the reference.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "MiB/s", "vs_baseline": N}
+Prints ONE JSON line (the headline flagship metric, tpx device decode) to
+stdout and writes the full metric suite to BENCH_DETAIL.json:
 
-Baseline: the reference's north-star single-thread decode of rANS32x64 16w
-12 on enwik8 = 3009.18 MiB/s (BASELINE.md; 7950X, AVX2).  The corpus is a
-deterministic enwik8-like zipf text (tools/gen_inputs.py) since the
-container has no network access.
+  tpx_decode_B12 / B13 / B15, tpx_encode           (device, slope-of-N)
+  mt_planner_decode, mt_uniform4k_decode           (reference mt wire, device)
+  mt_device_encode_phase                           (device, slope-of-N)
+  single_chain_decode                              (one 64-lane stream, device)
+  native_{raw,block}_{enc,dec}                     (host C++ tier)
+  ratio_{tpx_corpus,tpx_text,mt_corpus,block_corpus}
+
+Baselines (BASELINE.md, 7950X 1T): decode 3009.18 MiB/s, encode 347.90,
+block 2856.76/230.37, mt32T 13207.  The corpus is deterministic zipf text
+(tools/gen_inputs.py) for comparability with round 1, plus the checked-in
+real mixed corpus (tests/corpus) for ratios and the mt planner path.
 
 Timing methodology (docs/KERNEL_NOTES.md): host-side per-call timing through
-the axon tunnel is unreliable, so we run N decode passes inside one jit with
-a true data dependency between passes and fit the slope of wall time vs N —
-the fixed dispatch/readback overhead cancels exactly.
+the axon tunnel is unreliable, so device numbers chain N passes inside one
+jit with a true data dependency and fit the slope of wall time vs N — the
+fixed dispatch/readback overhead cancels exactly.  Host (native C++)
+numbers are plain wall clock (no device involved).
 """
 
 from __future__ import annotations
@@ -25,117 +33,102 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_MIB_S = 3009.18
+BASELINE_DEC = 3009.18
+BASELINE_ENC = 347.90
+BASELINE_MT = 13207.0
 SIZE_MB = int(os.environ.get("HSRANS_BENCH_MB", "64"))
 BITS = 12
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+METRICS: list[dict] = []
 
 
-def main() -> None:
+def record(metric: str, value: float, unit: str, baseline: float | None = None) -> dict:
+    row = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if baseline:
+        row["vs_baseline"] = round(value / baseline, 4)
+    METRICS.append(row)
+    print(f"  {metric}: {row['value']} {unit}" + (f" ({row['vs_baseline']}x baseline)" if baseline else ""), file=sys.stderr)
+    return row
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    np.asarray(fn())
+    return time.perf_counter() - t0
+
+
+def slope(make_many, lo=1, hi=9, reps=7) -> float:
+    """Seconds per pass via the N-chained-passes slope.  The hi-lo span must
+    dwarf the tunnel's 1-40 ms dispatch jitter or the slope goes negative."""
+    f_lo, f_hi = make_many(lo), make_many(hi)
+    np.asarray(f_lo())
+    np.asarray(f_hi())
+    t_lo = min(_timed(f_lo) for _ in range(reps))
+    t_hi = min(_timed(f_hi) for _ in range(reps))
+    return (t_hi - t_lo) / (hi - lo)
+
+
+def bench_tpx_decode(data, bits, label, baseline=None):
     import jax
     import jax.numpy as jnp
 
     from hsrans_tpu.kernels import tpx_decode as K
-    from hsrans_tpu.ops.tpx import TpxParams, tpx_encode, tpx_parse
-    from tools.gen_inputs import text_like
+    from hsrans_tpu.kernels.tpx_encode import tpx_encode_tpu
+    from hsrans_tpu.ops.tpx import TpxParams, tpx_parse
 
-    p = TpxParams(bits=BITS)
-    n_megas = max(1, (SIZE_MB << 20) // p.mega_bytes)
-    size = n_megas * p.mega_bytes
-
-    rng = np.random.default_rng(8)
-    data = text_like(rng, size)
-
-    t0 = time.perf_counter()
-    blob = tpx_encode(data, BITS)
-    enc_s = time.perf_counter() - t0
-    ratio = len(blob) / data.size
-    print(
-        f"corpus {size >> 20} MiB; encode (host numpy): "
-        f"{size / (1 << 20) / enc_s:.1f} MiB/s; ratio {ratio:.4f}",
-        file=sys.stderr,
-    )
-
+    p = TpxParams(bits=bits)
+    blob = tpx_encode_tpu(data, bits, p=p)
     _, length, megas = tpx_parse(blob)
-
-    # stack per-mega kernel inputs (all full megas -> identical shapes)
     w_max = max(m.w_slots for m in megas)
-    M = len(megas)
-    T = megas[0].n_tiles
-    c0 = np.zeros((M, T, 8, 128), np.int32)
-    bm = np.zeros((M, T, 8, 128), np.int32)
-    t1a = np.zeros((M, T, 8, 128), np.int32)
-    t1b = np.zeros((M, T, 8, 128), np.int32)
-    t2a = np.zeros((M, T, 8, 128), np.int32)
-    t2b = np.zeros((M, T, 8, 128), np.int32)
+    M, T = len(megas), megas[0].n_tiles
+    shapes = [(M, T, 8, 128)] * 6
+    packs = [np.zeros(s, np.int32) for s in shapes]
     stream = np.zeros((M, T, p.rows, w_max), np.int32)
     states = np.zeros((M, p.rows, p.lanes), np.uint32)
     for i, m in enumerate(megas):
-        c0[i], bm[i], t1a[i], t1b[i], t2a[i], t2b[i] = K.mega_dec_tables(m.freqs, BITS)
+        tabs = K.mega_dec_tables(m.freqs, bits)
+        for j in range(6):
+            packs[j][i] = tabs[j]
         stream[i, :, :, : m.w_slots] = m.stream.view(np.int32)
         states[i] = m.states
-
     vlen = jnp.asarray(np.array([[p.mega_bytes]], np.int32))
-    dev = [jnp.asarray(x) for x in (c0, bm, t1a, t1b, t2a, t2b, stream, states)]
-    kw = dict(rows=p.rows, n_tiles=T, w_slots=w_max, steps=p.steps, bits=BITS)
+    dev = [jnp.asarray(x) for x in packs + [stream, states]]
+    kw = dict(rows=p.rows, n_tiles=T, w_slots=w_max, steps=p.steps, bits=bits)
 
     def corpus_pass(carry, xs):
         c0m, bmm, t1am, t1bm, t2am, t2bm, streamm, initm = xs
-        # xor a bit of each output into the next pass's init: forces serial
-        # execution (defeats CSE) while leaving the work shape identical
         out = K._decode_mega(vlen, c0m, bmm, t1am, t1bm, t2am, t2bm, streamm, initm ^ carry, **kw)
         delta = jax.lax.bitcast_convert_type(out[0, :, :128], jnp.uint32) & jnp.uint32(1)
         return carry ^ delta, out[0, 0, 0]
 
     def many(n):
+        import jax
+
         @jax.jit
-        def fn(*dev_args):
+        def fn():
             def body(i, carry):
-                carry, _ = jax.lax.scan(corpus_pass, carry, dev_args)
+                carry, _ = jax.lax.scan(corpus_pass, carry, tuple(dev))
                 return carry
+
             return jax.lax.fori_loop(0, n, body, jnp.zeros((p.rows, p.lanes), jnp.uint32))
+
         return fn
 
-    lo_n, hi_n = 1, 17
-    f_lo, f_hi = many(lo_n), many(hi_n)
-    np.asarray(f_lo(*dev))
-    np.asarray(f_hi(*dev))  # compile + warm both
-
-    t_lo = min(_timed(f_lo, dev) for _ in range(7))
-    t_hi = min(_timed(f_hi, dev) for _ in range(7))
-    per_pass = (t_hi - t_lo) / (hi_n - lo_n)
-    mib_s = size / (1 << 20) / per_pass
-    print(
-        f"device decode (slope of {lo_n}->{hi_n} passes): {per_pass*1e3:.2f} ms per "
-        f"{size >> 20} MiB -> {mib_s:.0f} MiB/s on {jax.devices()[0].device_kind}",
-        file=sys.stderr,
-    )
-
-    _bench_encode(data, p)
-
-    print(
-        json.dumps(
-            {
-                "metric": "tpx_rANS32_12bit_decode_enwik8like",
-                "value": round(mib_s, 2),
-                "unit": "MiB/s",
-                "vs_baseline": round(mib_s / BASELINE_MIB_S, 4),
-            }
-        )
-    )
+    per = slope(many, 1, 17)
+    mib = data.size / (1 << 20) / per
+    record(label, mib, "MiB/s", baseline)
+    return mib, len(blob) / data.size
 
 
-def _bench_encode(data: "np.ndarray", p) -> None:
-    """Device encode throughput (phase A + concat chained, slope of N).
-
-    Reference baseline: scalar encoders only, 347.90 MiB/s (BASELINE.md).
-    Reported to stderr; the JSON headline metric stays the decode rate.
-    """
+def bench_tpx_encode(data):
     import jax
     import jax.numpy as jnp
 
     from hsrans_tpu.kernels import tpx_encode as KE
-    from hsrans_tpu.ops.tpx import make_tile_hist
+    from hsrans_tpu.ops.tpx import TpxParams, make_tile_hist
 
+    p = TpxParams(bits=BITS)
     mega = data[: p.mega_bytes]
     s4c, rows, n_tiles = p.steps // 4, p.rows, p.tiles
     packed = jnp.asarray(mega.view("<i4").reshape(n_tiles, rows, s4c * p.lanes))
@@ -153,7 +146,7 @@ def _bench_encode(data: "np.ndarray", p) -> None:
 
     tabs = [x for key in ("fc", "m", "l") for x in pack(key)]
     vlen = jnp.asarray(np.array([[p.mega_bytes]], np.int32))
-    wq = jnp.asarray(np.array([[1024 // 128]], np.int32))  # generous typical W
+    wq = jnp.asarray(np.array([[1024 // 128]], np.int32))
     kw_a = dict(rows=rows, s4c=s4c, n_tiles=n_tiles, bits=p.bits)
     kw_b = dict(rows=rows, rc=128, steps=p.steps, wcap=(p.steps * p.lanes // 2), n_tiles=n_tiles)
 
@@ -166,33 +159,143 @@ def _bench_encode(data: "np.ndarray", p) -> None:
 
     def many(n):
         @jax.jit
-        def fn(p0):
-            carry = jax.lax.fori_loop(0, n, lambda i, c: one_pass(c), jnp.zeros_like(p0))
-            # small readback: every pass still runs fully (each consumes the
-            # whole carry), only the final transfer shrinks
+        def fn():
+            carry = jax.lax.fori_loop(0, n, lambda i, c: one_pass(c), jnp.zeros_like(packed))
             return carry[:, 0, :128]
 
         return fn
 
-    f_lo, f_hi = many(1), many(9)
-    np.asarray(f_lo(packed))
-    np.asarray(f_hi(packed))
-    t_lo = min(_timed(f_lo, [packed]) for _ in range(5))
-    t_hi = min(_timed(f_hi, [packed]) for _ in range(5))
-    per = (t_hi - t_lo) / 8
-    enc_mib_s = p.mega_bytes / (1 << 20) / per
+    per = slope(many, 1, 9)
+    record("tpx_encode_B12", p.mega_bytes / (1 << 20) / per, "MiB/s", BASELINE_ENC)
+
+
+def _mt_bucket_slope(blob, bits, label, baseline):
+    import jax
+    import jax.numpy as jnp
+
+    from hsrans_tpu.kernels import mt64_decode as K
+
+    length, stream, blocks = K.block_index(blob, 64)
+    coded = [b for b in blocks if not b.is_single]
+    kb = coded[:-1]
+    w_all = K.block_word_counts(blocks, kb, stream)
+    sizes = {}
+    for i, b in enumerate(kb):
+        sizes.setdefault(b.size, []).append(i)
+    size0, idxs = max(sizes.items(), key=lambda kv: kv[0] * len(kv[1]))
+    idxs = sorted(idxs, key=lambda i: w_all[i])
+    arrs, kw = K.build_bucket_arrays([kb[i] for i in idxs], [w_all[i] for i in idxs], stream, bits)
+    dev = [jnp.asarray(a) for a in arrs]
+
+    def one_pass(carry, _):
+        a = list(dev)
+        a[7] = dev[7] ^ carry
+        o = K._decode_blocks(*a, **kw)
+        d = jax.lax.bitcast_convert_type(o[: dev[7].shape[0], :128], jnp.uint32) & jnp.uint32(1)
+        return carry ^ d, o[0, 0]
+
+    def many(n):
+        @jax.jit
+        def fn():
+            c, _ = jax.lax.scan(one_pass, jnp.zeros(dev[7].shape, jnp.uint32), None, length=n)
+            return c[0, 0]
+
+        return fn
+
+    per = slope(many, 1, 9)
+    useful = len(idxs) * size0
+    record(label, useful / (1 << 20) / per, "MiB/s", baseline)
+
+
+def bench_mt(corpus_big):
+    from hsrans_tpu.ops.mt import mt_encode
+    from hsrans_tpu.parallel.sharded import uniform_plan
+
+    blob = mt_encode(corpus_big, BITS, 64)  # greedy planner, native host
+    record("ratio_mt_corpus", len(blob) / corpus_big.size, "ratio")
+    _mt_bucket_slope(blob, BITS, "mt_planner_decode_B12", BASELINE_MT)
+
+    small = corpus_big[: 16 << 20]
+    blob4k = mt_encode(small, BITS, 64, plan=uniform_plan(small, BITS, 64, 4096))
+    _mt_bucket_slope(blob4k, BITS, "mt_uniform4k_decode_B12", BASELINE_DEC)
+
+    one = corpus_big[:65600]
+    blob1 = mt_encode(one, BITS, 64, plan=uniform_plan(one, BITS, 64, 65536))
+    _mt_bucket_slope(blob1, BITS, "single_chain_decode_B12", None)
+
+
+def bench_native(corpus):
+    from hsrans_tpu.runtime import native
+
+    if native.load() is None:
+        return
+    mb = corpus.size / (1 << 20)
+
+    def best(f, *a):
+        out, t = None, 9e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(*a)
+            t = min(t, time.perf_counter() - t0)
+        return out, t
+
+    blob, te = best(native.raw_encode, corpus, BITS, 64)
+    _, td = best(native.raw_decode, blob, BITS, 64)
+    record("native_raw_encode", mb / te, "MiB/s", BASELINE_ENC)
+    record("native_raw_decode", mb / td, "MiB/s", BASELINE_DEC)
+    blob, te = best(native.block_encode, corpus, BITS, 64)
+    _, td = best(native.block_decode, blob, BITS, 64)
+    record("native_block_encode", mb / te, "MiB/s", 230.37)
+    record("native_block_decode", mb / td, "MiB/s", 2856.76)
+    record("ratio_block_corpus", len(blob) / corpus.size, "ratio")
+
+
+def main() -> None:
+    from hsrans_tpu.ops.tpx import tpx_encode
+    from tools.gen_inputs import text_like
+
+    t_start = time.time()
+    rng = np.random.default_rng(8)
+    n_megas = max(1, (SIZE_MB << 20) // (16 << 20))
+    text = text_like(rng, n_megas * (16 << 20))
+    corpus = np.fromfile(os.path.join(REPO, "tests", "corpus", "corpus.bin"), np.uint8)
+    corpus_big = np.tile(corpus, max(1, SIZE_MB // 6))
+
+    # headline: flagship tpx device decode on the zipf text (r01-comparable)
+    headline_mib, ratio_text = bench_tpx_decode(text, BITS, "tpx_decode_B12", BASELINE_DEC)
+    record("ratio_tpx_text", ratio_text, "ratio")
+    record("ratio_tpx_corpus", len(tpx_encode(corpus, BITS)) / corpus.size, "ratio")
+
+    steps = [
+        lambda: bench_tpx_encode(text),
+        lambda: bench_mt(corpus_big),
+        lambda: bench_tpx_decode(text[: 16 << 20], 13, "tpx_decode_B13", BASELINE_DEC),
+        lambda: bench_tpx_decode(text[: 16 << 20], 15, "tpx_decode_B15", BASELINE_DEC),
+        lambda: bench_native(corpus_big[: 12 << 20]),
+    ]
+    budget_s = float(os.environ.get("HSRANS_BENCH_BUDGET_S", "900"))
+    for step in steps:
+        if time.time() - t_start > budget_s:
+            print("  (bench budget reached; remaining steps skipped)", file=sys.stderr)
+            break
+        try:
+            step()
+        except Exception as e:  # keep the headline even if a step dies
+            print(f"  bench step failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(METRICS, f, indent=1)
+
     print(
-        f"device encode (slope of 1->9 passes): {per*1e3:.2f} ms per "
-        f"{p.mega_bytes >> 20} MiB -> {enc_mib_s:.0f} MiB/s "
-        f"(reference scalar encode baseline: 347.90 MiB/s -> {enc_mib_s/347.90:.1f}x)",
-        file=sys.stderr,
+        json.dumps(
+            {
+                "metric": "tpx_rANS32_12bit_decode_enwik8like",
+                "value": round(headline_mib, 2),
+                "unit": "MiB/s",
+                "vs_baseline": round(headline_mib / BASELINE_DEC, 4),
+            }
+        )
     )
-
-
-def _timed(fn, dev) -> float:
-    t0 = time.perf_counter()
-    np.asarray(fn(*dev))
-    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

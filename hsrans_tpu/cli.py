@@ -55,8 +55,8 @@ def _build_codecs(args) -> list[dict]:
             for wb in (16, 8):
                 add(
                     f"rANS32x32 32blk {wb}w",
-                    (lambda b, wb=wb: lambda d: blk32.blk32_encode(d, make_hist(d, b), wb))(bits),
-                    (lambda b, wb=wb: lambda c: blk32.blk32_decode(c, b, wb))(bits),
+                    (lambda b, wb=wb: lambda d: blk32.blk32_encode_host(d, b, wb))(bits),
+                    (lambda b, wb=wb: lambda c: blk32.blk32_decode_host(c, b, wb))(bits),
                     bits,
                 )
         if args["block"]:
@@ -144,12 +144,14 @@ def parse_args(argv: list[str]) -> dict:
         elif a.startswith("--exclude-"):
             args[a[10:].replace("-", "")] = False
         elif a == "--max-simd":
-            # capability downgrade (reference: main.cpp:463-618): anything
-            # below the full level forces the scalar/interpret tiers
+            # capability downgrade (reference: main.cpp:463-618).  Only ever
+            # downgrades: the full level is a no-op, mid levels force the
+            # interpret tier, none forces the numpy scalar tier.
             i += 1
-            if argv[i] == "none":
+            level = argv[i]
+            if level == "none":
                 args["backend"] = "numpy"
-            elif args["backend"] == "auto":
+            elif level not in ("avx512bw", "avx512f") and args["backend"] in ("auto", "device"):
                 args["backend"] = "interpret"
         elif a == "--backend":
             i += 1

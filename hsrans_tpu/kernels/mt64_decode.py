@@ -245,13 +245,22 @@ def _decode_blocks(c0, bm, ta, tb, tc, td, stream, init, *, g_rows, n_groups, s8
 
 
 def _bucket_geometry(w_slots: int, nb: int, n_dev: int) -> int | None:
-    """Rows per kernel group: VMEM stream-tile budget, multiples of 8."""
+    """Rows per kernel group: VMEM stream-tile budget, multiples of 8,
+    preferring the group size that minimizes pad rows (decoding a pad row
+    costs the same as a real one)."""
     g_cap = _STREAM_TILE_BYTES // (w_slots * 4)
     g_cap = min(256, g_cap // 8 * 8)
     if g_cap < 8:
         return None  # block too large for a VMEM-resident stream row
     per_dev = -(-nb // n_dev)
-    return g_cap if per_dev >= g_cap else max(8, -(-per_dev // 8) * 8)
+    if per_dev <= g_cap:
+        return max(8, -(-per_dev // 8) * 8)
+    best, best_pad = g_cap, -(-per_dev // g_cap) * g_cap - per_dev
+    for g in range(g_cap, max(8, g_cap - 64) - 1, -8):
+        pad = -(-per_dev // g) * g - per_dev
+        if pad < best_pad:
+            best, best_pad = g, pad
+    return best
 
 
 def build_bucket_arrays(

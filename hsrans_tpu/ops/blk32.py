@@ -51,6 +51,28 @@ def _groups(arr: np.ndarray, length: int) -> tuple[np.ndarray, np.ndarray, int]:
     return padded[pos], pos < length, total
 
 
+def blk32_encode_host(data: bytes | np.ndarray, bits: int, word_bits: int) -> bytes:
+    """32blk encode with a whole-input histogram: native C++ when built
+    (identical bytes — tests/test_native_codec.py), numpy fallback."""
+    from ..models.histogram import make_hist
+    from ..runtime import native
+
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    fast = native.blk32_encode(arr, bits, word_bits)
+    if fast is not None:
+        return fast
+    return blk32_encode(arr, make_hist(arr, bits), word_bits)
+
+
+def blk32_decode_host(blob: bytes | np.ndarray, bits: int, word_bits: int) -> bytes | None:
+    """32blk decode: native C++ when built, numpy oracle otherwise."""
+    from ..runtime import native
+
+    if native.load() is not None:
+        return native.blk32_decode(blob, bits, word_bits)
+    return blk32_decode(blob, bits, word_bits)
+
+
 def blk32_encode(data: bytes | np.ndarray, hist: Hist, word_bits: int) -> bytes:
     """Encode with 32 independent per-lane streams (16w or 8w words)."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)

@@ -100,7 +100,15 @@ def load(build_if_missing: bool = True):
         ctypes.c_uint32,
         ctypes.c_uint32,
     ]
-    for fn in ("hsr_raw_encode", "hsr_raw_decode", "hsr_block_encode", "hsr_block_decode", "hsr_mt_encode"):
+    for fn in (
+        "hsr_raw_encode",
+        "hsr_raw_decode",
+        "hsr_block_encode",
+        "hsr_block_decode",
+        "hsr_mt_encode",
+        "hsr_blk32_encode",
+        "hsr_blk32_decode",
+    ):
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = buf_sig
     lib.hsr_mt_decode.restype = ctypes.c_int64
@@ -268,3 +276,19 @@ def mt_encode(data: np.ndarray, bits: int, n: int) -> bytes | None:
 def mt_decode(blob, bits: int, n: int, threads: int = 0) -> bytes | None:
     """Native mt decode; blocks fan out to the C++ thread pool."""
     return _codec_decode("hsr_mt_decode", blob, bits, n, threads)
+
+
+def blk32_encode(data: np.ndarray, bits: int, word_bits: int) -> bytes | None:
+    """Native 32blk encode (16w/8w); hist computed internally."""
+    lib = load()
+    if lib is None:
+        return None
+    cap = data.size + (data.size >> 2) + 32 * 8 + 1024
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.zeros(cap, dtype=np.uint8)
+    got = lib.hsr_blk32_encode(_u8p(data), data.size, _u8p(out), out.size, bits, word_bits)
+    return out[:got].tobytes() if got >= 0 else None
+
+
+def blk32_decode(blob, bits: int, word_bits: int) -> bytes | None:
+    return _codec_decode("hsr_blk32_decode", blob, bits, word_bits)

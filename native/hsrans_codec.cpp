@@ -679,3 +679,165 @@ int64_t hsr_mt_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
 }
 
 }  // extern "C"
+
+// --- rANS32x32 32blk (independent per-lane streams, 16w and 8w) -------------
+//
+// 32 states, each with a PRIVATE stream (no cross-lane renorm coupling;
+// rans32x32_32blk_16w.cpp:42-57, 160-175).  8w consumes/emits up to two
+// 8-bit words per step (DecodeConsumePoint8 = 1<<23).  Semantics mirrored
+// from ops/blk32.py; per-lane forward stream = (groups ascending, emission
+// substep DESCENDING), which a backward writer produces naturally.
+
+extern "C" int64_t hsr_blk32_encode(const uint8_t *data, uint64_t size, uint8_t *out,
+                                    uint64_t cap, uint32_t bits, uint32_t word_bits) {
+  if (bits < 10 || bits > 15 || (word_bits != 16 && word_bits != 8)) return -1;
+  constexpr uint32_t N32 = 32;
+  constexpr Perm<N32> perm;
+  uint32_t counts[256] = {};
+  uint16_t freq[256], cumul[256];
+  if (size) hsr_observe_hist(data, size, counts);
+  else counts[0] = 1;
+  hsr_normalize_hist(counts, size ? size : 1, bits, freq, cumul);
+  EncTable t;
+  build_enc_table(freq, bits, &t);  // emit_at is 16w-specific; recompute for 8w
+  const uint32_t emit_point8 = ((1u << 23) >> bits) << 8;
+
+  const uint32_t init = word_bits == 16 ? kConsumePoint : (1u << 23);
+  uint32_t st[N32];
+  for (uint32_t j = 0; j < N32; j++) st[j] = init;
+
+  const uint64_t lane_cap = size / 2 + 64;  // words (u16) per lane, worst case
+  std::vector<uint16_t> scratch(lane_cap * N32);
+  uint16_t *cur[N32], *end_[N32];
+  for (uint32_t j = 0; j < N32; j++)
+    cur[j] = end_[j] = scratch.data() + lane_cap * (j + 1);
+
+  const uint64_t total = size ? (size + N32 - 1) / N32 : 0;
+  for (uint64_t gi = total; gi-- > 0;) {
+    const uint64_t base = gi * N32;
+    for (int64_t j = N32 - 1; j >= 0; j--) {
+      const uint64_t pos = base + perm.p[j];
+      if (pos >= size) continue;
+      const EncSym e = t.sym[data[pos]];
+      uint32_t s = st[j];
+      if (word_bits == 16) {
+        if (s >= e.emit_at) { *--cur[j] = (uint16_t)s; s >>= 16; }
+      } else {
+        const uint32_t max_state = emit_point8 * (uint32_t)e.freq;
+        while (s >= max_state) { *--cur[j] = (uint8_t)s; s >>= 8; }
+      }
+      const uint32_t q = (uint32_t)((((uint64_t)e.magic * s) >> 31) >> e.shift);
+      st[j] = (q << bits) + e.cumul + (s - q * e.freq);
+    }
+  }
+
+  const uint64_t wb = word_bits == 16 ? 2 : 1;
+  uint64_t payload = 0;
+  for (uint32_t j = 0; j < N32; j++) payload += (uint64_t)(end_[j] - cur[j]) * wb;
+  const uint64_t hdr = 16 + 512 + 4 * N32 + 4 * (N32 - 1);
+  if (hdr + payload > cap) return -1;
+  put_u64(out, size);
+  put_u64(out + 8, hdr + payload);
+  memcpy(out + 16, freq, 512);
+  memcpy(out + 16 + 512, st, 4 * N32);
+  uint8_t *o = out + 16 + 512 + 4 * N32;
+  for (uint32_t j = 0; j < N32 - 1; j++) {
+    const uint32_t bytes_j = (uint32_t)((end_[j] - cur[j]) * wb);
+    memcpy(o, &bytes_j, 4);
+    o += 4;
+  }
+  for (uint32_t j = 0; j < N32; j++) {
+    const uint64_t nw = (uint64_t)(end_[j] - cur[j]);
+    if (word_bits == 16) {
+      memcpy(o, cur[j], nw * 2);
+      o += nw * 2;
+    } else {
+      for (uint64_t k = 0; k < nw; k++) o[k] = (uint8_t)cur[j][k];
+      o += nw;
+    }
+  }
+  return (int64_t)(o - out);
+}
+
+extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
+                                    uint64_t cap, uint32_t bits, uint32_t word_bits) {
+  if (bits < 10 || bits > 15 || (word_bits != 16 && word_bits != 8)) return -1;
+  constexpr uint32_t N32 = 32;
+  constexpr Perm<N32> perm;
+  const uint64_t hdr = 16 + 512 + 4 * N32 + 4 * (N32 - 1);
+  if (size < hdr) return -1;
+  const uint64_t length = get_u64(blob);
+  if (get_u64(blob + 8) > size || length > cap) return -1;
+  uint16_t freq[256];
+  memcpy(freq, blob + 16, 512);
+  DecTable t;
+  if (!build_dec_table(freq, bits, &t)) return -1;
+  uint32_t st[N32];
+  memcpy(st, blob + 16 + 512, 4 * N32);
+
+  // per-lane stream cursors; a padded copy gives renorm slack per lane
+  const uint64_t wb = word_bits == 16 ? 2 : 1;
+  uint64_t starts[N32 + 1];
+  starts[0] = hdr;
+  for (uint32_t j = 0; j < N32 - 1; j++) {
+    uint32_t b32;
+    memcpy(&b32, blob + 16 + 512 + 4 * N32 + 4 * j, 4);
+    if (b32 % wb) return -1;
+    starts[j + 1] = starts[j] + b32;
+  }
+  starts[N32] = size;
+  if (starts[N32 - 1] > size) return -1;
+  const uint64_t slack = 2 * ((length + N32 - 1) / N32) + 8;
+  std::vector<uint16_t> lanes_buf;
+  uint64_t lane_len[N32], lane_off[N32], r[N32];
+  uint64_t tot = 0;
+  for (uint32_t j = 0; j < N32; j++) {
+    lane_len[j] = (starts[j + 1] - starts[j]) / wb;
+    lane_off[j] = tot;
+    tot += lane_len[j] + slack;
+    r[j] = 0;
+  }
+  lanes_buf.assign(tot, 0);
+  for (uint32_t j = 0; j < N32; j++) {
+    if (word_bits == 16)
+      memcpy(lanes_buf.data() + lane_off[j], blob + starts[j], lane_len[j] * 2);
+    else
+      for (uint64_t k = 0; k < lane_len[j]; k++)
+        lanes_buf[lane_off[j] + k] = blob[starts[j] + k];
+  }
+
+  const uint32_t mask = (1u << bits) - 1;
+  const uint32_t consume = word_bits == 16 ? kConsumePoint : (1u << 23);
+  const uint32_t shift = word_bits == 16 ? 16 : 8;
+  const int max_consumes = word_bits == 16 ? 1 : 2;
+  if (length == 0) return 0;
+  const uint64_t total = (length + N32 - 1) / N32;
+  const uint64_t out_len_states = length + 1 > N32 ? length - N32 + 1 : 0;
+  const uint64_t full = out_len_states ? (out_len_states + N32 - 1) / N32 : 0;
+
+  for (uint64_t g = 0; g < total; g++) {
+    const uint64_t base = g * N32;
+    for (uint32_t j = 0; j < N32; j++) {
+      const uint64_t pos = base + perm.p[j];
+      if (g >= full && pos >= length) continue;
+      uint32_t s = st[j];
+      const uint32_t slot = s & mask;
+      uint32_t f, c;
+      uint8_t b;
+      if (t.packed) {
+        const uint32_t v = t.pack[slot];
+        b = (uint8_t)v; c = (v >> 8) & 0xFFF; f = (v >> 20) + 1;
+      } else {
+        b = t.sym[slot]; f = t.freq[b]; c = t.cumul[b];
+      }
+      out[pos] = b;
+      s = (s >> bits) * f + slot - c;
+      for (int e = 0; e < max_consumes && s < consume; e++) {
+        if (r[j] >= lane_len[j] + slack) return -1;
+        s = (s << shift) | lanes_buf[lane_off[j] + r[j]++];
+      }
+      st[j] = s;
+    }
+  }
+  return (int64_t)length;
+}

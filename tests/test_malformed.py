@@ -69,3 +69,90 @@ def test_tpx_header_bitflips_safe():
             b[pos] = val
             out = tpx_decode(bytes(b))
             assert out is None or isinstance(out, bytes)
+
+
+def _payload_flips(blob, rng, n_flips=120):
+    """Byte corruptions across the ENTIRE blob (headers, tables, states,
+    word streams), plus targeted 0x00/0xFF stomps."""
+    for _ in range(n_flips):
+        pos = int(rng.integers(0, len(blob)))
+        b = bytearray(blob)
+        b[pos] ^= int(rng.integers(1, 256))
+        yield bytes(b)
+    for pos in (len(blob) // 2, len(blob) - 3):
+        for val in (0x00, 0xFF):
+            b = bytearray(blob)
+            b[pos] = val
+            yield bytes(b)
+
+
+def test_tpx_payload_bitflips_safe():
+    """Flips in freq tables, word counts, states and stream words of tpx
+    megablocks must never raise or write out of bounds."""
+    rng = np.random.default_rng(31)
+    blob = tpx_encode(_data(), 12)
+    for b in _payload_flips(blob, rng):
+        out = tpx_decode(b)
+        assert out is None or isinstance(out, bytes)
+
+
+def test_mt_payload_bitflips_safe():
+    """Flips in mt block headers (size, writeHeadOffset, states, freq) and
+    stream words: host oracle, native decoder, and the Pallas path's host
+    indexing must all fail closed."""
+    from hsrans_tpu.ops.mt import block_index, mt_decode_py
+    from hsrans_tpu.runtime import native
+
+    rng = np.random.default_rng(32)
+    blob = mt_encode(_data(), 12, 64)
+    for b in _payload_flips(blob, rng, n_flips=80):
+        out = mt_decode_py(b, 12, 64)
+        assert out is None or isinstance(out, bytes)
+        if native.load() is not None:
+            out_n = native.mt_decode(b, 12, 64)
+            assert out_n is None or isinstance(out_n, bytes)
+        block_index(b, 64)  # must not raise; None or an index both fine
+
+
+def test_mt_kernel_payload_bitflips_safe():
+    """The mt64 kernel host path (block_index + bucket build) on corrupted
+    blobs: returns None or bytes, never raises (interpret mode, targeted
+    header fields: writeHeadOffset and states of the first coded block)."""
+    from hsrans_tpu.kernels.mt64_decode import mt64_decode_tpu
+
+    blob = mt_encode(_data(), 12, 64)
+    for off in (16 + 8, 16 + 12, 16 + 16, 16 + 20, 16 + 16 + 256):
+        for val in (0x00, 0xFF, 0x80):
+            b = bytearray(blob)
+            b[off] = val
+            out = mt64_decode_tpu(bytes(b), 12, interpret=True)
+            assert out is None or isinstance(out, bytes)
+
+
+def test_block_payload_bitflips_safe():
+    rng = np.random.default_rng(33)
+    blob = block_encode(_data(), 12, 64)
+    from hsrans_tpu.ops.block import block_decode_py
+    from hsrans_tpu.runtime import native
+
+    for b in _payload_flips(blob, rng, n_flips=60):
+        out = block_decode_py(b, 12, 64)
+        assert out is None or isinstance(out, bytes)
+        if native.load() is not None:
+            out_n = native.block_decode(b, 12, 64)
+            assert out_n is None or isinstance(out_n, bytes)
+
+
+def test_blk32_payload_bitflips_safe():
+    rng = np.random.default_rng(34)
+    data = _data()
+    from hsrans_tpu.ops.blk32 import blk32_encode
+    from hsrans_tpu.runtime import native
+
+    blob = blk32_encode(data, make_hist(data, 12), 16)
+    for b in _payload_flips(blob, rng, n_flips=60):
+        out = blk32_decode(b, 12, 16)
+        assert out is None or isinstance(out, bytes)
+        if native.load() is not None:
+            out_n = native.blk32_decode(b, 12, 16)
+            assert out_n is None or isinstance(out_n, bytes)

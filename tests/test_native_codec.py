@@ -83,3 +83,17 @@ def test_public_ops_dispatch_native():
     assert mt.mt_encode(d, 12, 64) == mt.mt_encode_py(d, 12, 64)
     assert reference.raw_encode(d, 12, 64) == reference.raw_encode_16w(d, make_hist(d, 12), 64)
     assert block.block_decode(block.block_encode(d, 12, 64), 12, 64) == d.tobytes()
+
+
+@pytest.mark.parametrize("wb", (16, 8))
+@pytest.mark.parametrize("bits", (10, 12, 15))
+def test_blk32_native_matches_numpy(wb, bits):
+    _native_or_skip()
+    from hsrans_tpu.ops import blk32
+
+    for size in (0, 31, 70001):
+        d = _data(size, off=1 << 20)
+        a = blk32.blk32_encode(d, make_hist(d if size else np.zeros(1, np.uint8), bits), wb)
+        assert native.blk32_encode(d, bits, wb) == a, f"size={size}"
+        assert native.blk32_decode(a, bits, wb) == d.tobytes()
+        assert blk32.blk32_decode(a, bits, wb) == d.tobytes()
