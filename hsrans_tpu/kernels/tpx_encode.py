@@ -308,11 +308,15 @@ def _concat_kernel(
 
 
 def divisor_le(n: int, cap: int) -> int:
-    """Largest divisor of n that is <= cap (>= 1)."""
-    d = min(n, max(1, cap))
-    while n % d:
-        d -= 1
-    return d
+    """Largest divisor of n that is <= cap and a multiple of 8 (Mosaic
+    requires sublane block dims divisible by 8); n itself if none exists."""
+    d = min(n, max(8, cap // 8 * 8))
+    d -= d % 8
+    while d >= 8:
+        if n % d == 0:
+            return d
+        d -= 8
+    return n  # no 8-multiple divisor <= cap; full-array block is always legal
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "rc", "steps", "wcap", "n_tiles", "interpret"))

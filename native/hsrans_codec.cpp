@@ -332,7 +332,9 @@ int64_t hsr_raw_encode(const uint8_t *data, uint64_t size, uint8_t *out,
   Coder co;
   init_coder(&co, n);
 
-  std::vector<uint16_t> scratch(size / 2 + 2 * n + 8);
+  // worst case: <= B (15) bits emitted per input byte + 16 bits/lane
+  // of initial-state drain, so `size` words always suffice
+  std::vector<uint16_t> scratch(size + 2 * n + 16);
   uint16_t *pend = scratch.data() + scratch.size();
   uint16_t *pw = encode_span(&co, data, 0, size, size, &t, pend);
   const uint64_t w_count = (uint64_t)(pend - pw);
@@ -396,7 +398,9 @@ int64_t hsr_block_encode(const uint8_t *data, uint64_t size, uint8_t *out,
   EncTable t;
   // per-row word streams, encoded in planner order (= LIFO: last block
   // first); emitted backward into one scratch, sliced per row
-  std::vector<uint16_t> scratch(size / 2 + 2ull * n * (uint64_t)n_rows + 16);
+  // worst case <= 15 bits/byte (the per-block lookahead histogram can
+  // mismatch a block's true distribution), so `size` words suffice
+  std::vector<uint16_t> scratch(size + 2ull * n * (uint64_t)n_rows + 16);
   uint16_t *pend = scratch.data() + scratch.size();
   uint16_t *pw = pend;
   std::vector<uint64_t> w_count(n_rows);
@@ -511,7 +515,9 @@ int64_t hsr_mt_encode(const uint8_t *data, uint64_t size, uint8_t *out,
   Coder co;
   init_coder(&co, n);
   EncTable t;
-  std::vector<uint16_t> scratch(size / 2 + 2ull * n * (uint64_t)n_rows + 16);
+  // worst case <= 15 bits/byte (the per-block lookahead histogram can
+  // mismatch a block's true distribution), so `size` words suffice
+  std::vector<uint16_t> scratch(size + 2ull * n * (uint64_t)n_rows + 16);
   uint16_t *pend = scratch.data() + scratch.size();
   uint16_t *pw = pend;
   std::vector<uint64_t> w_count(n_rows);
@@ -706,7 +712,9 @@ extern "C" int64_t hsr_blk32_encode(const uint8_t *data, uint64_t size, uint8_t 
   uint32_t st[N32];
   for (uint32_t j = 0; j < N32; j++) st[j] = init;
 
-  const uint64_t lane_cap = size / 2 + 64;  // words (u16) per lane, worst case
+  // per-lane worst case: size/32 bytes/lane * 15 bits -> < size/17 words
+  // even for 8w (one u16 slot per 8-bit word here); size/16 + slack is safe
+  const uint64_t lane_cap = size / 16 + 64;
   std::vector<uint16_t> scratch(lane_cap * N32);
   uint16_t *cur[N32], *end_[N32];
   for (uint32_t j = 0; j < N32; j++)

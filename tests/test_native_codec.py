@@ -97,3 +97,22 @@ def test_blk32_native_matches_numpy(wb, bits):
         assert native.blk32_encode(d, bits, wb) == a, f"size={size}"
         assert native.blk32_decode(a, bits, wb) == d.tobytes()
         assert blk32.blk32_decode(a, bits, wb) == d.tobytes()
+
+
+def test_native_incompressible_data():
+    """Uniform-random input: the stream is slightly LARGER than the input
+    (ratio ~1.0002), which overflowed the original size/2-word emission
+    scratch. Covers the worst-case sizing of every native encoder."""
+    _native_or_skip()
+    rng = np.random.default_rng(5)
+    d = rng.integers(0, 256, 1_000_000, dtype=np.uint8).astype(np.uint8)
+    for n in (16, 32, 64):
+        blob = native.raw_encode(d, 12, n)
+        assert native.raw_decode(blob, 12, n) == d.tobytes()
+    for enc, dec in ((native.block_encode, native.block_decode), (native.mt_encode, native.mt_decode)):
+        blob = enc(d, 12, 64)
+        assert len(blob) > d.size  # genuinely incompressible
+        assert dec(blob, 12, 64) == d.tobytes()
+    for wb in (16, 8):
+        assert native.blk32_decode(native.blk32_encode(d, 12, wb), 12, wb) == d.tobytes()
+    assert native.block_encode(d, 12, 64) == block.block_encode_py(d, 12, 64)

@@ -107,3 +107,14 @@ def test_encode_kernel_fused_device_tables(bits):
     a = tpx_encode(data, p=p)
     b = tpx_encode_tpu(data, p=p, interpret=True, device_tables=True)
     assert a == b
+
+
+def test_divisor_le_sublane_legal():
+    """divisor_le must only return 8-multiples: Mosaic rejects block shapes
+    whose sublane dim isn't divisible by 8 on real hardware (interpret mode
+    does not check this, so a unit test pins it)."""
+    from hsrans_tpu.kernels.tpx_encode import divisor_le
+
+    for n in (8, 136, 184, 256, 1024, 968):
+        d = divisor_le(n, 128)
+        assert d % 8 == 0 and n % d == 0 and d <= 128, (n, d)
