@@ -201,6 +201,15 @@ uint16_t *encode_span_t(Coder *co, const uint8_t *data, uint64_t start, uint64_t
   return pw;
 }
 
+#if defined(__x86_64__)
+// AVX-512 fast path (defined below; instantiated at end of TU)
+template <uint32_t N>
+int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stream,
+                             uint64_t nwords, uint64_t r, uint8_t *out,
+                             uint64_t out_pos, uint64_t num_groups);
+bool avx512_ok();
+#endif
+
 // Decode `num_groups` full groups into out[0..num_groups*N); then, if
 // tail_start < length, the masked partial group.  Returns words consumed,
 // or -1 if the stream would overrun (malformed input).
@@ -212,6 +221,15 @@ int64_t decode_span_t(Coder *co, const DecTable *t, const uint16_t *stream,
   const uint32_t mask = (1u << t->bits) - 1;
   const uint32_t bits = t->bits;
   uint32_t *st = co->states;
+#if defined(__x86_64__)
+  if (t->packed && num_groups >= 4 && avx512_ok()) {
+    const int64_t nr = decode_groups_avx512<N>(co, t, stream, nwords, r, out, out_pos, num_groups);
+    if (nr < 0) return -1;
+    r = (uint64_t)nr;
+    out_pos += num_groups * N;  // unused below; kept for clarity
+    num_groups = 0;
+  }
+#endif
   if (t->packed) {
     const uint32_t *pk = t->pack.data();
     for (uint64_t g = 0; g < num_groups; g++) {
@@ -849,3 +867,92 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
   }
   return (int64_t)length;
 }
+
+// --- AVX-512 decode fast path ------------------------------------------------
+//
+// The interleaved decode's per-step work is data-parallel across the N
+// lanes; on x86 hosts with AVX-512 the whole step vectorizes with THREE
+// modern primitives the reference's 2022-era LUT designs don't use:
+//   * vpgatherdd   — packed slot->sym|cumul|freq table lookup (B<=12);
+//   * vpexpandd    — renorm: distributes the next k stream words to the
+//     k lanes whose state dropped below 2^15, in lane order, replacing
+//     the movemask -> 256-entry shuffle-LUT -> popcount idiom entirely;
+//   * vpermb       — one byte-permute applies the idx2idx output order
+//     for a whole lane group.
+// Falls back to the scalar path for B>12, partial tails, and non-AVX512
+// hosts (runtime __builtin_cpu_supports check).
+
+#if defined(__x86_64__)
+#include <immintrin.h>
+
+namespace {
+
+template <uint32_t N>
+__attribute__((target("avx512f,avx512bw,avx512vbmi,avx512vl")))
+int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stream,
+                             uint64_t nwords, uint64_t r, uint8_t *out,
+                             uint64_t out_pos, uint64_t num_groups) {
+  constexpr int NV = N / 16;  // 16 u32 states per zmm
+  constexpr Perm<N> perm;
+  alignas(64) uint8_t inv[64];
+  for (uint32_t j = 0; j < N; j++) inv[perm.p[j]] = (uint8_t)j;
+  const __m512i inv_idx = _mm512_loadu_si512(inv);
+  const __m512i slot_mask = _mm512_set1_epi32((1 << t->bits) - 1);
+  const __m512i lo12 = _mm512_set1_epi32(0xFFF);
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i consume_lim = _mm512_set1_epi32(kConsumePoint);
+  const int *pk = (const int *)t->pack.data();
+  const uint32_t bits = t->bits;
+
+  __m512i st[NV];
+  for (int v = 0; v < NV; v++) st[v] = _mm512_loadu_si512(co->states + 16 * v);
+
+  for (uint64_t g = 0; g < num_groups; g++) {
+    if (r + N > nwords + N) {  // padded slack bounds one group's consumption
+      for (int v = 0; v < NV; v++) _mm512_storeu_si512(co->states + 16 * v, st[v]);
+      return -1;
+    }
+    __m512i sym64 = _mm512_setzero_si512();
+    // phase 1: the sub-vectors' gathers are independent (slots come from
+    // last group's states) — issue them all before the renorm chain so
+    // their latencies overlap instead of serializing behind r
+    __m512i slot[NV], pck[NV];
+    for (int v = 0; v < NV; v++) slot[v] = _mm512_and_si512(st[v], slot_mask);
+    for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(slot[v], pk, 4);
+    for (int v = 0; v < NV; v++) {
+      const __m512i sym = _mm512_and_si512(pck[v], _mm512_set1_epi32(0xFF));
+      const __m512i cum = _mm512_and_si512(_mm512_srli_epi32(pck[v], 8), lo12);
+      const __m512i freq = _mm512_add_epi32(_mm512_srli_epi32(pck[v], 20), one);
+      __m512i s = _mm512_add_epi32(
+          _mm512_sub_epi32(slot[v], cum),
+          _mm512_mullo_epi32(_mm512_srli_epi32(st[v], bits), freq));
+      const __mmask16 k = _mm512_cmplt_epu32_mask(s, consume_lim);
+      // next 16 stream words, distributed in lane order to the k lanes
+      const __m512i words = _mm512_cvtepu16_epi32(_mm256_loadu_si256((const __m256i *)(stream + r)));
+      const __m512i renorm = _mm512_or_si512(_mm512_slli_epi32(s, 16),
+                                             _mm512_maskz_expand_epi32(k, words));
+      s = _mm512_mask_mov_epi32(s, k, renorm);
+      r += (uint64_t)_mm_popcnt_u32((uint32_t)k);
+      st[v] = s;
+      // collect this sub-vector's 16 symbol bytes into sym64's v-th 128 bits
+      const __m128i b16 = _mm512_cvtepi32_epi8(sym);
+      sym64 = _mm512_inserti32x4(sym64, b16, v);
+    }
+    const __m512i wire = _mm512_permutexvar_epi8(inv_idx, sym64);
+    uint8_t *og = out + out_pos + g * N;
+    if (N == 64) _mm512_storeu_si512(og, wire);
+    else if (N == 32) _mm256_storeu_si256((__m256i *)og, _mm512_castsi512_si256(wire));
+    else _mm_storeu_si128((__m128i *)og, _mm512_castsi512_si128(wire));
+  }
+  for (int v = 0; v < NV; v++) _mm512_storeu_si512(co->states + 16 * v, st[v]);
+  return (int64_t)r;
+}
+
+bool avx512_ok() {
+  static const bool ok = __builtin_cpu_supports("avx512f") && __builtin_cpu_supports("avx512bw") &&
+                         __builtin_cpu_supports("avx512vbmi") && __builtin_cpu_supports("avx512vl");
+  return ok;
+}
+
+}  // namespace
+#endif  // __x86_64__
