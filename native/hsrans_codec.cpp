@@ -90,6 +90,10 @@ struct EncSym {
 
 struct EncTable {
   EncSym sym[256];
+  // flat per-symbol tables for the AVX-512 path's gathers:
+  // fc = freq | cumul<<16 (both < 2^16 for B <= 15); magic as above
+  uint32_t fc[256];
+  uint32_t magic[256];
   uint32_t bits;
 };
 
@@ -105,6 +109,8 @@ void build_enc_table(const uint16_t freq[256], uint32_t bits, EncTable *t) {
     t->sym[i].magic = (uint32_t)(((((uint64_t)1 << (31 + l)) + d - 1) / d));
     t->sym[i].shift = l;
     t->sym[i].emit_at = emit_point * (uint32_t)freq[i];
+    t->fc[i] = (uint32_t)freq[i] | (c << 16);
+    t->magic[i] = t->sym[i].magic;
     c += freq[i];
   }
   t->bits = bits;
@@ -173,6 +179,14 @@ inline void enc_lane(uint32_t &state, uint8_t b, const EncTable *t, uint16_t *&p
   state = (q << t->bits) + e.cumul + (state - q * e.freq);
 }
 
+#if defined(__x86_64__)
+// AVX-512 fast paths (defined at end of TU; instantiated lazily)
+template <uint32_t N>
+uint16_t *encode_groups_avx512(Coder *co, const uint8_t *data, uint64_t start,
+                               uint64_t num_groups, const EncTable *t, uint16_t *pw);
+bool avx512cd_ok();
+#endif
+
 // Encode [start, end) (end == length may include the partial tail group).
 // Words are written backward from *pw; returns the new cursor.
 template <uint32_t N>
@@ -193,6 +207,10 @@ uint16_t *encode_span_t(Coder *co, const uint8_t *data, uint64_t start, uint64_t
       if (pos < (end < length ? end : length)) enc_lane(st[j], data[pos], t, pw);
     }
   }
+#if defined(__x86_64__)
+  if (g >= 4 && avx512cd_ok())
+    return encode_groups_avx512<N>(co, data, start, g, t, pw);
+#endif
   while (g--) {
     const uint8_t *base = data + start + g * N;
     for (int64_t j = N - 1; j >= 0; j--)
@@ -951,6 +969,95 @@ int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *strea
 bool avx512_ok() {
   static const bool ok = __builtin_cpu_supports("avx512f") && __builtin_cpu_supports("avx512bw") &&
                          __builtin_cpu_supports("avx512vbmi") && __builtin_cpu_supports("avx512vl");
+  return ok;
+}
+
+}  // namespace
+#endif  // __x86_64__
+
+// --- AVX-512 encode fast path ------------------------------------------------
+//
+// The reference ships no vector encoder at all ("All encoders are currently
+// scalar", README.md:26).  The encode step vectorizes the same way the
+// decode does, with the dual primitives:
+//   * vpcompressd  — emission compaction: the k lanes whose state crossed
+//     the emit threshold write their low 16 bits, packed in lane order
+//     (a masked store keeps the backward stream write exact);
+//   * paired vpmuludq — the Granlund-Montgomery reciprocal division
+//     ((magic*s)>>31)>>shift without integer division;
+//   * vplzcntd     — the per-symbol shift recomputed as 32-lzcnt(freq-1),
+//     saving a third gather (tables: fc = freq|cumul<<16, magic).
+
+#if defined(__x86_64__)
+namespace {
+
+template <uint32_t N>
+__attribute__((target("avx512f,avx512bw,avx512vbmi,avx512vl,avx512cd")))
+uint16_t *encode_groups_avx512(Coder *co, const uint8_t *data, uint64_t start,
+                               uint64_t num_groups, const EncTable *t, uint16_t *pw) {
+  constexpr int NV = N / 16;
+  constexpr Perm<N> perm;
+  alignas(64) uint8_t pvec[64] = {};
+  for (uint32_t j = 0; j < N; j++) pvec[j] = perm.p[j];
+  const __m512i perm_idx = _mm512_loadu_si512(pvec);
+  const __m512i lo16 = _mm512_set1_epi32(0xFFFF);
+  const __m512i ep = _mm512_set1_epi32((int)((kConsumePoint >> t->bits) << 16));
+  const __m512i ktot = _mm512_set1_epi32(1 << t->bits);
+  const __m512i one = _mm512_set1_epi32(1);
+  const int *fc_tab = (const int *)t->fc;
+  const int *mg_tab = (const int *)t->magic;
+
+  __m512i st[NV];
+  for (int v = 0; v < NV; v++) st[v] = _mm512_loadu_si512(co->states + 16 * v);
+
+  for (uint64_t g = num_groups; g-- > 0;) {
+    // 64 input bytes -> lane order (one byte-permute), then 16-byte quarters
+    __m512i grp;
+    if (N == 64) grp = _mm512_loadu_si512(data + start + g * N);
+    else if (N == 32) grp = _mm512_castsi256_si512(_mm256_loadu_si256((const __m256i *)(data + start + g * N)));
+    else grp = _mm512_castsi128_si512(_mm_loadu_si128((const __m128i *)(data + start + g * N)));
+    grp = _mm512_permutexvar_epi8(perm_idx, grp);
+
+    __m512i sym[NV], fc[NV], mg[NV];
+    for (int v = 0; v < NV; v++)
+      sym[v] = _mm512_cvtepu8_epi32(_mm512_extracti32x4_epi32(grp, v));
+    for (int v = 0; v < NV; v++) fc[v] = _mm512_i32gather_epi32(sym[v], fc_tab, 4);
+    for (int v = 0; v < NV; v++) mg[v] = _mm512_i32gather_epi32(sym[v], mg_tab, 4);
+
+    for (int v = NV - 1; v >= 0; v--) {  // lanes descending; stream backward
+      const __m512i freq = _mm512_and_si512(fc[v], lo16);
+      const __m512i cum = _mm512_srli_epi32(fc[v], 16);
+      const __mmask16 k =
+          _mm512_cmpge_epu32_mask(st[v], _mm512_mullo_epi32(ep, freq));
+      const unsigned kc = _mm_popcnt_u32((uint32_t)k);
+      const __m256i words =
+          _mm512_cvtepi32_epi16(_mm512_maskz_compress_epi32(k, st[v]));
+      pw -= kc;
+      _mm256_mask_storeu_epi16(pw, (__mmask16)((1u << kc) - 1), words);
+      __m512i s = _mm512_mask_srli_epi32(st[v], k, st[v], 16);
+
+      // q = ((magic * s) >> 31) >> shift, shift = 32 - lzcnt(freq-1)
+      const __m512i pe = _mm512_mul_epu32(mg[v], s);
+      const __m512i po = _mm512_mul_epu32(_mm512_srli_epi64(mg[v], 32),
+                                          _mm512_srli_epi64(s, 32));
+      const __m512i q31 = _mm512_mask_blend_epi32(
+          0xAAAA, _mm512_srli_epi64(pe, 31),
+          _mm512_slli_epi64(_mm512_srli_epi64(po, 31), 32));
+      const __m512i shift = _mm512_sub_epi32(
+          _mm512_set1_epi32(32),
+          _mm512_lzcnt_epi32(_mm512_sub_epi32(_mm512_max_epu32(freq, one), one)));
+      const __m512i q = _mm512_srlv_epi32(q31, shift);
+      // s' = q*(2^B - freq) + cumul + s
+      st[v] = _mm512_add_epi32(
+          _mm512_add_epi32(_mm512_mullo_epi32(q, _mm512_sub_epi32(ktot, freq)), cum), s);
+    }
+  }
+  for (int v = 0; v < NV; v++) _mm512_storeu_si512(co->states + 16 * v, st[v]);
+  return pw;
+}
+
+bool avx512cd_ok() {
+  static const bool ok = avx512_ok() && __builtin_cpu_supports("avx512cd");
   return ok;
 }
 
