@@ -223,6 +223,11 @@ def bench_mt(corpus_big):
     blob1 = mt_encode(one, BITS, 64, plan=uniform_plan(one, BITS, 64, 65536))
     _mt_bucket_slope(blob1, BITS, "single_chain_decode_B12", None)
 
+    # B=15 tier: the reference's mt runs at 7.3 GiB/s here (README.md:192)
+    small15 = corpus_big[: 16 << 20]
+    blob15 = mt_encode(small15, 15, 64)
+    _mt_bucket_slope(blob15, 15, "mt_planner_decode_B15", 7471.0)
+
 
 def bench_native(corpus):
     from hsrans_tpu.runtime import native

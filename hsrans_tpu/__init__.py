@@ -17,10 +17,10 @@ rainerzufalldererste/hypersonic-rANS (see SURVEY.md):
 """
 
 from .models.histogram import Hist, make_hist, normalize_hist, observe_hist
-from .ops.blk32 import blk32_decode, blk32_encode
+from .ops.blk32 import blk32_decode, blk32_decode_host, blk32_encode, blk32_encode_host
 from .ops.block import block_decode, block_encode
 from .ops.mt import mt_decode, mt_encode
-from .ops.reference import raw_decode_16w, raw_encode_16w
+from .ops.reference import raw_decode, raw_decode_16w, raw_encode, raw_encode_16w
 from .ops.tpx import TpxParams, tpx_decode, tpx_encode
 
 __all__ = [
@@ -28,10 +28,14 @@ __all__ = [
     "make_hist",
     "normalize_hist",
     "observe_hist",
+    "raw_encode",
+    "raw_decode",
     "raw_encode_16w",
     "raw_decode_16w",
     "blk32_encode",
     "blk32_decode",
+    "blk32_encode_host",
+    "blk32_decode_host",
     "block_encode",
     "block_decode",
     "mt_encode",
@@ -42,9 +46,10 @@ __all__ = [
     "tpx_encode_tpu",
     "tpx_decode_tpu",
     "mt64_decode_tpu",
+    "mt64_encode_tpu",
 ]
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name: str):
@@ -61,4 +66,8 @@ def __getattr__(name: str):
         from .kernels.mt64_decode import mt64_decode_tpu
 
         return mt64_decode_tpu
+    if name == "mt64_encode_tpu":
+        from .kernels.mt64_encode import mt64_encode_tpu
+
+        return mt64_encode_tpu
     raise AttributeError(name)

@@ -75,13 +75,14 @@ def _mt64_kernel(
     tc_ref,  # VMEM [G, 128] i32: B>12 t2 (cumul) lo; zeros for B<=12
     td_ref,  # VMEM [G, 128] i32: B>12 t2 hi (2 u16 words per i32 slot)
     stream_ref,  # VMEM [C, G, 128] i32: per-row stream, chunk-major
-    init_ref,  # VMEM [G, 128] u32: header states (lanes 64.. are dummies)
-    out_ref,  # out VMEM [G, 128] i32: 8 steps x 16 u32 of wire bytes
+    init_ref,  # VMEM [G, 128] u32: header states (lanes n.. are dummies)
+    out_ref,  # out VMEM [G, 128] i32: 512 wire bytes (8x16 or 16x8 u32)
     states_scr,  # VMEM [G, 128] u32
     rw_scr,  # VMEM [G, 128] i32
     *,
     g_rows: int,
     bits: int,
+    n: int = 64,
 ):
     s8 = pl.program_id(1)
 
@@ -95,8 +96,9 @@ def _mt64_kernel(
     w_chunks = stream_ref.shape[0]  # 128-slot stream chunks per row
     n_chunks = max(1, (1 << bits) // 32 // 128)  # 128-bucket chunks of c0/bm
 
-    # Per-invocation sliding stream window: 8 steps consume <= 8*64 words
-    # = 256 slots per row, so a 3-chunk (384-slot) window starting at the
+    # Per-invocation sliding stream window: one invocation covers 512
+    # bytes per row (8 steps x 64 lanes, or 16 x 32), consuming at most
+    # 512 words = 256 slots, so a 3-chunk (384-slot) window at the
     # row's current chunk covers the whole invocation.  The stream tile is
     # chunk-MAJOR so the build loops only over [min, max] of the group's
     # current chunks (dynamic fori bounds from vector reduces) — early
@@ -126,17 +128,18 @@ def _mt64_kernel(
         tc, td = tc_ref[:], td_ref[:]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
-    active = lane < N
+    active = lane < n
+    u32s = n // 4  # output u32 lanes per step; steps/invocation = 128//u32s
 
-    # strict-lower triangular restricted to the active 64 lanes: exclusive
+    # strict-lower triangular restricted to the active n lanes: exclusive
     # prefix of the consume mask in the reference's lane consumption order
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tri = ((tri_r < tri_c) & (tri_r < N) & (tri_c < N)).astype(jnp.bfloat16)
+    tri = ((tri_r < tri_c) & (tri_r < n) & (tri_c < n)).astype(jnp.bfloat16)
 
-    # pack_idx[b][.., l] = rANS lane supplying wire byte 4*(l&15)+b
-    pack_idx = [_inv_idx2idx64((4 * (lane & 15) + b) & (N - 1)) for b in range(4)]
-    step_of_lane = lane >> 4  # which step's u32s live in this lane group
+    # pack_idx[b][.., l] = rANS lane supplying wire byte 4*(l%u32s)+b
+    pack_idx = [_inv_idx2idx64((4 * (lane % u32s) + b) & (n - 1)) for b in range(4)]
+    step_of_lane = lane // u32s  # which step's u32s live in this lane group
 
     def step_fn(i, carry):
         states, rw, packed = carry
@@ -190,7 +193,7 @@ def _mt64_kernel(
 
         cb = consume.astype(jnp.bfloat16)
         prefix = jnp.dot(cb, tri, preferred_element_type=jnp.float32).astype(jnp.int32)
-        total = prefix[:, N - 1 : N] + consume[:, N - 1 : N].astype(jnp.int32)
+        total = prefix[:, n - 1 : n] + consume[:, n - 1 : n].astype(jnp.int32)
 
         widx = rw + prefix
         rel = (widx >> 1) - (win_chunk0 << 7)  # slot index within the window
@@ -204,7 +207,7 @@ def _mt64_kernel(
         states = jnp.where(consume, (new_states << jnp.uint32(16)) | word, new_states)
         rw = rw + total
 
-        # pack this step's 64 symbols as 16 wire-order u32s at lane group i
+        # pack this step's n symbols as n/4 wire-order u32s at lane group i
         w_s = jnp.zeros((g_rows, L), jnp.int32)
         for b in range(4):
             w_s = w_s | (jnp.take_along_axis(sym, pack_idx[b], axis=1) << (8 * b))
@@ -212,15 +215,15 @@ def _mt64_kernel(
         return states, rw, packed
 
     carry = (states_scr[:], rw_scr[:], jnp.zeros((g_rows, L), jnp.int32))
-    states, rw, packed = jax.lax.fori_loop(0, 8, step_fn, carry)
+    states, rw, packed = jax.lax.fori_loop(0, 128 // u32s, step_fn, carry)
     states_scr[:] = states
     rw_scr[:] = rw
     out_ref[:] = packed
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s8c", "w_slots", "bits", "interpret"))
-def _decode_blocks(c0, bm, ta, tb, tc, td, stream, init, *, g_rows, n_groups, s8c, w_slots, bits, interpret=False):
-    kernel = functools.partial(_mt64_kernel, g_rows=g_rows, bits=bits)
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s8c", "w_slots", "bits", "n", "interpret"))
+def _decode_blocks(c0, bm, ta, tb, tc, td, stream, init, *, g_rows, n_groups, s8c, w_slots, bits, n=64, interpret=False):
+    kernel = functools.partial(_mt64_kernel, g_rows=g_rows, bits=bits, n=n)
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s8: (g, 0), memory_space=pltpu.VMEM)
     n_chunks = max(1, (1 << bits) // 32 // 128)
     chunk_spec = pl.BlockSpec((n_chunks, g_rows, 128), lambda g, s8: (0, g, 0), memory_space=pltpu.VMEM)
@@ -245,22 +248,15 @@ def _decode_blocks(c0, bm, ta, tb, tc, td, stream, init, *, g_rows, n_groups, s8
 
 
 def _bucket_geometry(w_slots: int, nb: int, n_dev: int) -> int | None:
-    """Rows per kernel group: VMEM stream-tile budget, multiples of 8,
-    preferring the group size that minimizes pad rows (decoding a pad row
-    costs the same as a real one)."""
+    """Rows per kernel group: VMEM stream-tile budget, multiples of 8.
+    Measured: maximizing rows-per-group beats minimizing pad rows (per-
+    invocation costs — window build, table loads — amortize over rows)."""
     g_cap = _STREAM_TILE_BYTES // (w_slots * 4)
     g_cap = min(256, g_cap // 8 * 8)
     if g_cap < 8:
         return None  # block too large for a VMEM-resident stream row
     per_dev = -(-nb // n_dev)
-    if per_dev <= g_cap:
-        return max(8, -(-per_dev // 8) * 8)
-    best, best_pad = g_cap, -(-per_dev // g_cap) * g_cap - per_dev
-    for g in range(g_cap, max(8, g_cap - 64) - 1, -8):
-        pad = -(-per_dev // g) * g - per_dev
-        if pad < best_pad:
-            best, best_pad = g, pad
-    return best
+    return g_cap if per_dev >= g_cap else max(8, -(-per_dev // 8) * 8)
 
 
 def build_bucket_arrays(
@@ -269,6 +265,7 @@ def build_bucket_arrays(
     stream: np.ndarray,
     bits: int,
     n_dev: int = 1,
+    n: int = N,
 ) -> tuple[list[np.ndarray], dict] | None:
     """Host-side kernel operands for one uniform-size bucket of blocks."""
     size0 = kernel_blocks[0].size
@@ -278,7 +275,7 @@ def build_bucket_arrays(
     if g_rows is None:
         return None
     nb_pad = -(-nb // (g_rows * n_dev)) * g_rows * n_dev
-    s8c = size0 // N // 8
+    s8c = size0 // 512  # one grid step decodes 512 bytes/row at any n
 
     n_buckets = (1 << bits) // 32
     n_chunks = max(1, n_buckets // 128)
@@ -309,7 +306,7 @@ def build_bucket_arrays(
         if words.size & 1:
             words = np.concatenate([words, np.zeros(1, np.uint32)])
         stream_rows[i, : words.size // 2] = words[0::2] | (words[1::2] << np.uint32(16))
-        init[i, :N] = b.states
+        init[i, :n] = b.states
 
     # chunk-major stream layout: the kernel's window build loads whole
     # 128-slot chunks by dynamic leading index (stream_ref[c] -> [G, 128])
@@ -317,7 +314,7 @@ def build_bucket_arrays(
         stream_rows.view(np.int32).reshape(nb_pad, w_slots // 128, 128).transpose(1, 0, 2)
     )
     arrs = [c0, bm, ta, tb, tc, td, stream_cm, init]
-    kw = dict(g_rows=g_rows, n_groups=nb_pad // g_rows // n_dev, s8c=s8c, w_slots=w_slots, bits=bits)
+    kw = dict(g_rows=g_rows, n_groups=nb_pad // g_rows // n_dev, s8c=s8c, w_slots=w_slots, bits=bits, n=n)
     return arrs, kw
 
 
@@ -329,10 +326,11 @@ def decode_bucket(
     interpret: bool,
     mesh,
     axis: str,
+    n: int = N,
 ) -> np.ndarray | None:
     """Decode one uniform-size bucket of coded blocks; [nb_pad, size] bytes."""
     n_dev = mesh.shape[axis] if mesh is not None else 1
-    built = build_bucket_arrays(kernel_blocks, w_counts, stream, bits, n_dev)
+    built = build_bucket_arrays(kernel_blocks, w_counts, stream, bits, n_dev, n)
     if built is None:
         return None
     arrs, kw = built
@@ -355,17 +353,17 @@ def decode_bucket(
     return np.asarray(packed).view(np.uint8).reshape(-1, size0)
 
 
-def block_word_counts(blocks: list, kernel_blocks: list, stream: np.ndarray) -> list[int] | None:
+def block_word_counts(blocks: list, kernel_blocks: list, stream: np.ndarray, n: int = N) -> list[int] | None:
     """Exact per-block word counts: a block's words end where the next
     block's header begins (single-symbol header = 4 words; coded header
-    = 8 + 2N + 256 words before its word_start)."""
+    = 8 + 2n + 256 words before its word_start)."""
     pos_of = {id(b): j for j, b in enumerate(blocks)}
     w_counts = []
     for b in kernel_blocks:
         j = pos_of[id(b)] + 1
         if j < len(blocks):
             nxt = blocks[j]
-            end = nxt.word_start - (4 if nxt.is_single else 8 + 2 * N + 256)
+            end = nxt.word_start - (4 if nxt.is_single else 8 + 2 * n + 256)
         else:
             end = stream.size
         w_counts.append(end - b.word_start)
@@ -380,8 +378,11 @@ def mt64_decode_tpu(
     interpret: bool = False,
     mesh=None,
     axis: str = "dp",
+    n: int = 64,
 ) -> bytes | None:
-    """Decode an mt_rANS32x64 16w blob on the TPU (any B in 10..15).
+    """Decode an mt_rANS32xN 16w blob (n in {32, 64}) on the TPU, any B
+    in 10..15.  One grid step covers 512 bytes per block row either way
+    (8 steps x 64 lanes or 16 x 32), so the geometry is width-agnostic.
 
     Coded blocks are grouped by size into uniform kernel buckets (the
     greedy planner's variable blocks are minb-multiples, so buckets are
@@ -392,9 +393,9 @@ def mt64_decode_tpu(
     gather in order at the shard_map boundary).  Returns None only for
     layouts where nothing can run on the kernel (malformed/tiny inputs).
     """
-    if bits > 15:
+    if bits > 15 or n not in (32, 64):
         return None
-    idx = block_index(blob, N)
+    idx = block_index(blob, n)
     if idx is None:
         return None
     length, stream, blocks = idx
@@ -405,13 +406,13 @@ def mt64_decode_tpu(
     # trailing partial lane group), steps % 8 == 0
     coded = [b for b in blocks if not b.is_single]
     kernel_blocks = coded[:-1] if coded else []
-    w_all = block_word_counts(blocks, kernel_blocks, stream)
+    w_all = block_word_counts(blocks, kernel_blocks, stream, n)
     if w_all is None:
         return None
 
     buckets: dict[int, list[int]] = {}
     for i, b in enumerate(kernel_blocks):
-        if b.size % (N * 8) == 0:
+        if b.size % 512 == 0:
             buckets.setdefault(b.size, []).append(i)
 
     decoded: dict[int, np.ndarray] = {}  # kernel_blocks index -> bytes
@@ -422,7 +423,7 @@ def mt64_decode_tpu(
         idxs = sorted(idxs, key=lambda i: w_all[i])
         blk = [kernel_blocks[i] for i in idxs]
         wc = [w_all[i] for i in idxs]
-        rows = decode_bucket(blk, wc, stream, bits, interpret, mesh, axis)
+        rows = decode_bucket(blk, wc, stream, bits, interpret, mesh, axis, n)
         if rows is None:
             continue  # bucket out of scope -> host oracle per block
         for j, i in enumerate(idxs):
@@ -438,14 +439,14 @@ def mt64_decode_tpu(
         if i is not None and i in decoded:
             out[b.out_start : b.out_start + b.size] = decoded[i]
         else:
-            part = _decode_block_host(b, stream, bits, length)
+            part = _decode_block_host(b, stream, bits, length, n)
             if part is None:
                 return None
             out[b.out_start : b.out_start + part.size] = part
     return out.tobytes()
 
 
-def _decode_block_host(blk, stream, bits: int, length: int) -> np.ndarray | None:
+def _decode_block_host(blk, stream, bits: int, length: int, n: int = N) -> np.ndarray | None:
     """Oracle decode of one coded block (incl. the trailing partial group,
     which belongs to the final coded block's lane chain — ops/mt.py)."""
     from ..ops.reference import decode_full_groups, decode_tail_group
@@ -454,18 +455,18 @@ def _decode_block_host(blk, stream, bits: int, length: int) -> np.ndarray | None
     hist = complete_hist(blk.freq, bits)
     if hist is None:
         return None
-    out_len_states = max(length - N + 1, 0)
+    out_len_states = max(length - n + 1, 0)
     start = blk.out_start
     block_end = min(start + blk.size, out_len_states)
-    num_groups = max(0, -(-(block_end - start) // N))
-    syms, states, r = decode_full_groups(blk.states.copy(), stream, blk.word_start, hist, N, num_groups)
-    part = syms[:, INV_IDX2IDX[N]].reshape(-1)
-    end = start + num_groups * N
+    num_groups = max(0, -(-(block_end - start) // n))
+    syms, states, r = decode_full_groups(blk.states.copy(), stream, blk.word_start, hist, n, num_groups)
+    part = syms[:, INV_IDX2IDX[n]].reshape(-1)
+    end = start + num_groups * n
     if start + blk.size > end:
-        tail, _, _ = decode_tail_group(states, stream, r, hist, N, end, length)
-        perm = IDX2IDX[N]
+        tail, _, _ = decode_tail_group(states, stream, r, hist, n, end, length)
+        perm = IDX2IDX[n]
         tail_bytes = np.zeros(length - end, np.uint8)
         sel = (end + perm) < length
-        tail_bytes[perm[sel]] = tail[np.arange(N)[sel]]
+        tail_bytes[perm[sel]] = tail[np.arange(n)[sel]]
         part = np.concatenate([part, tail_bytes])
     return part

@@ -176,3 +176,23 @@ def test_mt64_kernel_low_bits(bits):
     blob = _blob(data, 4096, bits=bits)
     assert mt_decode(blob, bits, 64) == data.tobytes()
     assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (12, 13))
+def test_mt_kernel_n32(bits):
+    """n=32 blobs on the same kernel: 16 steps x 32 lanes per grid step."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(19)
+    data = text_like(rng, 200_000)
+    blob = mt_encode(data, bits, 32, plan=uniform_plan(data, bits, 32, 4096))
+    assert mt_decode(blob, bits, 32) == data.tobytes()
+    assert mt64_decode_tpu(blob, bits, interpret=True, n=32) == data.tobytes()
+
+
+def test_mt_kernel_n32_planner():
+    from pathlib import Path
+
+    data = np.fromfile(Path(__file__).parent / "corpus" / "corpus.bin", np.uint8)[: 256 * 1024]
+    blob = mt_encode(data, 12, 32)  # greedy planner (mt32 constants)
+    assert mt64_decode_tpu(blob, 12, interpret=True, n=32) == data.tobytes()
