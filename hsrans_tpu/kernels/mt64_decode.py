@@ -83,6 +83,7 @@ def _mt64_kernel(
     g_rows: int,
     bits: int,
     n: int = 64,
+    small_rank: bool = False,
 ):
     s8 = pl.program_id(1)
 
@@ -175,7 +176,14 @@ def _mt64_kernel(
             )
         m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
         rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
-        if bits <= 12:
+        if bits <= 12 and small_rank:
+            # every block in this bucket has <= 128 present symbols: the
+            # packed rank table fits one shuffle operand (saves a gather)
+            v1 = pltpu.bitcast(jnp.take_along_axis(ta, rank, axis=1), jnp.uint32)
+            sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
+            freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
+            cum = v1 >> jnp.uint32(20)
+        elif bits <= 12:
             # packed rank table: sym | (freq-1)<<8 | cumul<<20 (one gather)
             v1 = pltpu.bitcast(gather256(ta, tb, rank), jnp.uint32)
             sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
@@ -221,9 +229,9 @@ def _mt64_kernel(
     out_ref[:] = packed
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s8c", "w_slots", "bits", "n", "interpret"))
-def _decode_blocks(c0, bm, ta, tb, tc, td, stream, init, *, g_rows, n_groups, s8c, w_slots, bits, n=64, interpret=False):
-    kernel = functools.partial(_mt64_kernel, g_rows=g_rows, bits=bits, n=n)
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s8c", "w_slots", "bits", "n", "small_rank", "interpret"))
+def _decode_blocks(c0, bm, ta, tb, tc, td, stream, init, *, g_rows, n_groups, s8c, w_slots, bits, n=64, small_rank=False, interpret=False):
+    kernel = functools.partial(_mt64_kernel, g_rows=g_rows, bits=bits, n=n, small_rank=small_rank)
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s8: (g, 0), memory_space=pltpu.VMEM)
     n_chunks = max(1, (1 << bits) // 32 // 128)
     chunk_spec = pl.BlockSpec((n_chunks, g_rows, 128), lambda g, s8: (0, g, 0), memory_space=pltpu.VMEM)
@@ -287,6 +295,9 @@ def build_bucket_arrays(
     td = np.zeros((nb_pad, 128), np.int32)
     stream_rows = np.zeros((nb_pad, w_slots), np.uint32)
     init = np.full((nb_pad, L), DECODE_CONSUME_POINT_16, np.uint32)
+    small_rank = bits <= 12 and all(
+        int(np.count_nonzero(b.freq)) <= 128 for b in kernel_blocks
+    )
     for i, b in enumerate(kernel_blocks):
         hist = complete_hist(b.freq, bits)
         if hist is None:
@@ -314,7 +325,10 @@ def build_bucket_arrays(
         stream_rows.view(np.int32).reshape(nb_pad, w_slots // 128, 128).transpose(1, 0, 2)
     )
     arrs = [c0, bm, ta, tb, tc, td, stream_cm, init]
-    kw = dict(g_rows=g_rows, n_groups=nb_pad // g_rows // n_dev, s8c=s8c, w_slots=w_slots, bits=bits, n=n)
+    kw = dict(
+        g_rows=g_rows, n_groups=nb_pad // g_rows // n_dev, s8c=s8c,
+        w_slots=w_slots, bits=bits, n=n, small_rank=small_rank,
+    )
     return arrs, kw
 
 
@@ -410,13 +424,14 @@ def mt64_decode_tpu(
     if w_all is None:
         return None
 
-    buckets: dict[int, list[int]] = {}
+    buckets: dict[tuple, list[int]] = {}
     for i, b in enumerate(kernel_blocks):
         if b.size % 512 == 0:
-            buckets.setdefault(b.size, []).append(i)
+            small = bits <= 12 and int(np.count_nonzero(b.freq)) <= 128
+            buckets.setdefault((b.size, small), []).append(i)
 
     decoded: dict[int, np.ndarray] = {}  # kernel_blocks index -> bytes
-    for size0, idxs in sorted(buckets.items()):
+    for (size0, _small), idxs in sorted(buckets.items()):
         # order rows by stream length: kernel groups then hold blocks whose
         # read cursors stay close, keeping the dynamic window scan short
         # (measured 4.6 -> 6.2 GiB/s on the mixed corpus at 64 KiB blocks)
