@@ -93,7 +93,7 @@ def bench_tpx_decode(data, bits, label, baseline=None):
         stream[i, :, :, : m.w_slots] = m.stream.view(np.int32)
         states[i] = m.states
     vlen = jnp.asarray(np.array([[p.mega_bytes]], np.int32))
-    dev = [jnp.asarray(x) for x in packs + [stream, states]]
+    dev = [jnp.asarray(x) for x in packs + [K.chunk_major(stream), states]]
     kw = dict(rows=p.rows, n_tiles=T, w_slots=w_max, steps=p.steps, bits=bits)
 
     def corpus_pass(carry, xs):

@@ -46,12 +46,12 @@ def _tile_kernel(
     t1b_ref,  # VMEM [1, 8, 128] i32 (rank 128..255)
     t2a_ref,  # VMEM [1, 8, 128] i32 (cumul, rank 0..127)
     t2b_ref,  # VMEM [1, 8, 128] i32
-    stream_hbm,  # ANY  [T, R, W] i32
+    stream_hbm,  # ANY  [T, C, R, 128] i32 (chunk-major per-row streams)
     init_ref,  # VMEM [R, L] u32
     out_ref,  # VMEM [1, R, 128] i32 (4 packed bytes per lane)
     states_scr,  # VMEM [R, L] u32
     rw_scr,  # VMEM [R, L] i32 (per-row word position, broadcast on lanes)
-    stream_scr,  # VMEM [R, W] i32
+    stream_scr,  # VMEM [C, R, 128] i32
     dma_sem,
     *,
     rows: int,
@@ -86,7 +86,7 @@ def _tile_kernel(
         bm = [pltpu.bitcast(bcast(bm_ref), jnp.uint32)]
     t1a, t1b = bcast(t1a_ref), bcast(t1b_ref)
     t2a, t2b = bcast(t2a_ref), bcast(t2b_ref)
-    w_slots = stream_scr.shape[-1]
+    w_chunks = stream_scr.shape[0]
 
     # strict upper-triangular ones (consume @ tri = exclusive lane prefix)
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
@@ -106,17 +106,25 @@ def _tile_kernel(
         return jnp.where(rank < 128, g_lo, g_hi)
 
     # per-invocation sliding stream window (docs/KERNEL_NOTES.md): 4 steps
-    # consume <= 4*128 words = 256 slots per row, so a 3-chunk window built
-    # by per-row chunk *selection* (static slices, no gathers) replaces the
-    # per-step w_slots/128-candidate gather loop with 3 candidates
+    # consume <= 4*128 words = 256 slots per row, so a 3-chunk window
+    # suffices; the chunk-major scratch + dynamic fori bounds scan only the
+    # [min, max+3] chunk range the rows currently span (the mt decoder's
+    # trick), instead of every chunk of the stream
     rw_entry = rw_scr[:, 0:1]
     win_chunk0 = (rw_entry >> 1) >> 7
-    window = []
-    for h in range(3):
-        wh = jnp.zeros((rows, 128), jnp.int32)
-        for c in range(w_slots // 128):
-            wh = jnp.where(win_chunk0 + h == c, stream_scr[:, c * 128 : (c + 1) * 128], wh)
-        window.append(wh)
+    cmin = jnp.min(win_chunk0)
+    cmax = jnp.minimum(jnp.max(win_chunk0) + 3, w_chunks)
+
+    def wbody(c, win):
+        w0, w1, w2 = win
+        rowc = stream_scr[c]
+        w0 = jnp.where(win_chunk0 == c, rowc, w0)
+        w1 = jnp.where(win_chunk0 + 1 == c, rowc, w1)
+        w2 = jnp.where(win_chunk0 + 2 == c, rowc, w2)
+        return w0, w1, w2
+
+    zero_win = jnp.zeros((rows, 128), jnp.int32)
+    window = jax.lax.fori_loop(cmin, cmax, wbody, (zero_win, zero_win, zero_win))
 
     def step_fn(i, carry):
         states, rw, packed = carry
@@ -225,7 +233,7 @@ def _decode_mega(vlen, c0, bm, t1a, t1b, t2a, t2b, stream, init_states, *, rows,
         scratch_shapes=[
             pltpu.VMEM((rows, L), jnp.uint32),
             pltpu.VMEM((rows, L), jnp.int32),
-            pltpu.VMEM((rows, w_slots), jnp.int32),
+            pltpu.VMEM((w_slots // 128, rows, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         # wide streams (low B / incompressible tiles) push the stack past
@@ -236,6 +244,15 @@ def _decode_mega(vlen, c0, bm, t1a, t1b, t2a, t2b, stream, init_states, *, rows,
     # The packed [T, R, S/4*128] i32 output IS the megablock's bytes in wire
     # order (little-endian) — no transpose needed by construction.
     return out
+
+
+def chunk_major(stream_i32: np.ndarray) -> np.ndarray:
+    """[..., R, W] i32 row-major stream -> [..., W/128, R, 128] chunk-major
+    (the kernel's window build loads whole chunks by dynamic leading index)."""
+    *lead, r, w = stream_i32.shape
+    cm = stream_i32.reshape(*lead, r, w // 128, 128)
+    axes = list(range(len(lead))) + [len(lead) + 1, len(lead), len(lead) + 2]
+    return np.ascontiguousarray(cm.transpose(*axes))
 
 
 def mega_dec_tables(freqs: np.ndarray, bits: int) -> tuple[np.ndarray, ...] | None:
@@ -288,7 +305,7 @@ def tpx_decode_tpu(blob: bytes | np.ndarray, interpret: bool = False) -> bytes |
         packed = _decode_mega(
             jnp.asarray(vlen),
             *[jnp.asarray(t) for t in tabs],
-            jnp.asarray(mega.stream.view(np.int32)),
+            jnp.asarray(chunk_major(mega.stream.view(np.int32))),
             jnp.asarray(mega.states),
             rows=p.rows,
             n_tiles=n_tiles,

@@ -114,7 +114,7 @@ def tpx_decode_device(
         # dummy pad megas keep freq tables invalid-but-harmless (vlen = 0)
 
         packed = _decode_sharded(
-            *[jnp.asarray(x) for x in (vlens, c0, bm, t1a, t1b, t2a, t2b, stream, states)],
+            *[jnp.asarray(x) for x in (vlens, c0, bm, t1a, t1b, t2a, t2b, KD.chunk_major(stream), states)],
             rows=p.rows,
             n_tiles=T,
             w_slots=w_max,
