@@ -150,9 +150,10 @@ def _mt64_kernel(
             c0v = jnp.take_along_axis(c0, k, axis=1)
             bmv = jnp.take_along_axis(bm, pltpu.bitcast(k, jnp.uint32), axis=1)
         else:
-            # B>=13: loop dynamically over the 128-bucket chunks (unrolling
-            # the 2*n_chunks gathers per step trips the Mosaic code-size
-            # cliff at B=15, docs/KERNEL_NOTES.md)
+            # B>=13: loop over the 128-bucket chunks.  B=13 (2 chunks)
+            # unrolls statically; wider depths loop dynamically (unrolling
+            # 2*n_chunks gathers per step trips the Mosaic code-size cliff
+            # at B=15, docs/KERNEL_NOTES.md)
             kc = k >> 7
             kw = k & 127
             kw_u = pltpu.bitcast(kw, jnp.uint32)
@@ -168,12 +169,11 @@ def _mt64_kernel(
                 )
                 return c0v, bmv
 
-            c0v, bmv = jax.lax.fori_loop(
-                0,
-                n_chunks,
-                bchunk,
-                (jnp.zeros((g_rows, L), jnp.int32), jnp.zeros((g_rows, L), jnp.uint32)),
-            )
+            carry0 = (jnp.zeros((g_rows, L), jnp.int32), jnp.zeros((g_rows, L), jnp.uint32))
+            if n_chunks == 2:
+                c0v, bmv = bchunk(1, bchunk(0, carry0))
+            else:
+                c0v, bmv = jax.lax.fori_loop(0, n_chunks, bchunk, carry0)
         m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
         rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
         if bits <= 12 and small_rank:
