@@ -196,3 +196,18 @@ def test_mt_kernel_n32_planner():
     data = np.fromfile(Path(__file__).parent / "corpus" / "corpus.bin", np.uint8)[: 256 * 1024]
     blob = mt_encode(data, 12, 32)  # greedy planner (mt32 constants)
     assert mt64_decode_tpu(blob, 12, interpret=True, n=32) == data.tobytes()
+
+
+def test_mt64_kernel_planner_blob_sharded():
+    """Variable-size buckets shard over the mesh too (each bucket's rows
+    split across devices; in-order gather at the shard_map boundary)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = Mesh(np.array(devs).reshape(len(devs)), ("dp",))
+    data = np.fromfile(Path(__file__).parent / "corpus" / "corpus.bin", np.uint8)[: 512 * 1024]
+    blob = mt_encode(data, 12, 64)  # greedy planner
+    assert mt64_decode_tpu(blob, 12, interpret=True, mesh=mesh) == data.tobytes()
