@@ -229,6 +229,59 @@ def bench_mt(corpus_big):
     _mt_bucket_slope(blob15, 15, "mt_planner_decode_B15", 7471.0)
 
 
+def bench_mt_device_encode(corpus):
+    """Device mt encode kernel (phase A + stream concat) on 4 KiB blocks,
+    chained on-device; the wire mux stays on the host as in the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from hsrans_tpu.kernels import mt64_encode as KE
+    from hsrans_tpu.kernels.tpx_encode import divisor_le, make_enc_tables_batch
+    from hsrans_tpu.runtime import native as nat
+
+    bs, nb, g_rows = 4096, 512, 256
+    arr = np.ascontiguousarray(corpus[: nb * bs])
+    h = nat.hist_blocks(arr, bs, BITS, nb)
+    if h is None:
+        return
+    freqs, cumuls = h
+    et = make_enc_tables_batch(freqs, cumuls, BITS)
+    fc = np.ascontiguousarray(et["fc"])
+    mg = np.ascontiguousarray(et["m"])
+    zeros = np.zeros((nb, 128), np.int32)
+    tabs = [fc[:, :128], fc[:, 128:], mg[:, :128], mg[:, 128:], zeros, zeros]
+    seg_steps = bs // 64
+    view32 = arr.view("<i4").reshape(nb, seg_steps // 8 * 128)
+    init0 = jnp.full((nb, 128), 1 << 15, jnp.uint32)
+    dev_tabs = [jnp.asarray(np.ascontiguousarray(t)) for t in tabs]
+    packed = jnp.asarray(view32)
+    wcap = seg_steps * 64 // 2 // 128 * 128
+    rc = divisor_le(g_rows, max(8, (4 << 20) // (seg_steps * 128 * 4)))
+    wq = jnp.asarray(np.array([[wcap // 128]], np.int32))
+    kw_a = dict(g_rows=g_rows, n_groups=nb // g_rows, s8c=seg_steps // 8, bits=BITS)
+    kw_b = dict(rows=nb, rc=rc, steps=seg_steps, wcap=wcap, n_tiles=1)
+
+    def one_pass(carry, _):
+        win, cnta, cntb, states = KE._encode_blocks(*dev_tabs, init0 ^ carry, packed, **kw_a)
+        cnt = KE._unpack_counts_mt(cnta, cntb)
+        stream = KE._concat_mega(
+            wq, win.reshape(1, seg_steps, nb, 128), cnt.reshape(1, nb, 128), **kw_b
+        )
+        delta = jax.lax.bitcast_convert_type(stream[0, :, :128], jnp.uint32) & jnp.uint32(1)
+        return carry ^ delta, states[0, 0]
+
+    def many(n):
+        @jax.jit
+        def fn():
+            c, _ = jax.lax.scan(one_pass, jnp.zeros((nb, 128), jnp.uint32), None, length=n)
+            return c[0, 0]
+
+        return fn
+
+    per = slope(many, 1, 9)
+    record("mt_device_encode_4k", nb * bs / (1 << 20) / per, "MiB/s", BASELINE_ENC)
+
+
 def bench_native(corpus):
     from hsrans_tpu.runtime import native
 
@@ -274,6 +327,7 @@ def main() -> None:
     steps = [
         lambda: bench_tpx_encode(text),
         lambda: bench_mt(corpus_big),
+        lambda: bench_mt_device_encode(corpus_big),
         lambda: bench_tpx_decode(text[: 16 << 20], 13, "tpx_decode_B13", BASELINE_DEC),
         lambda: bench_tpx_decode(text[: 16 << 20], 15, "tpx_decode_B15", BASELINE_DEC),
         lambda: bench_native(corpus_big[: 12 << 20]),
