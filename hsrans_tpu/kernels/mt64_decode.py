@@ -138,8 +138,11 @@ def _mt64_kernel(
     tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     tri = ((tri_r < tri_c) & (tri_r < n) & (tri_c < n)).astype(jnp.bfloat16)
 
-    # pack_idx[b][.., l] = rANS lane supplying wire byte 4*(l%u32s)+b
-    pack_idx = [_inv_idx2idx64((4 * (lane % u32s) + b) & (n - 1)) for b in range(4)]
+    # Wire word w sources CONSECUTIVE rANS lanes: inv_idx2idx(4w+b) =
+    # L0(w) + b with L0(w) = 4*((w>>2)&1) + 8*(w&3) + 32*(w>>3), so the
+    # output pack is 3 static lane-rolls + ONE shuffle instead of 4.
+    w_idx = lane % u32s
+    l0_idx = 4 * ((w_idx >> 2) & 1) + 8 * (w_idx & 3) + 32 * (w_idx >> 3)
     step_of_lane = lane // u32s  # which step's u32s live in this lane group
 
     def step_fn(i, carry):
@@ -215,10 +218,14 @@ def _mt64_kernel(
         states = jnp.where(consume, (new_states << jnp.uint32(16)) | word, new_states)
         rw = rw + total
 
-        # pack this step's n symbols as n/4 wire-order u32s at lane group i
-        w_s = jnp.zeros((g_rows, L), jnp.int32)
-        for b in range(4):
-            w_s = w_s | (jnp.take_along_axis(sym, pack_idx[b], axis=1) << (8 * b))
+        # pack this step's n symbols as n/4 wire-order u32s at lane group i:
+        # byte-pack lanes l..l+3 via rolls, then one L0-pattern shuffle
+        # (the rolled-in wraparound lanes are never selected: L0+3 < 64)
+        p1 = pltpu.roll(sym, 127, 1)
+        p2 = pltpu.roll(sym, 126, 1)
+        p3 = pltpu.roll(sym, 125, 1)
+        pre = sym | (p1 << 8) | (p2 << 16) | (p3 << 24)
+        w_s = jnp.take_along_axis(pre, l0_idx, axis=1)
         packed = jnp.where(step_of_lane == i, w_s, packed)
         return states, rw, packed
 
