@@ -75,7 +75,7 @@ def _build_codecs(args) -> list[dict]:
                     (lambda b, n=n: lambda c: mt.mt_decode(c, b, n))(bits),
                     bits,
                 )
-            if args["backend"] != "numpy" and bits <= 12:
+            if args["backend"] != "numpy" and bits <= 15:
                 from .kernels.mt64_decode import mt64_decode_tpu
                 from .kernels.mt64_encode import mt64_encode_tpu
 

@@ -103,3 +103,14 @@ def test_mt64_encode_segmented_large_blocks(block):
     assert mt_decode(blob, 12, 64) == data.tobytes()
     assert blob == mt_encode_device(data, 12, 64, plan=uniform_plan(data, 12, 64, block))
     assert mt64_decode_tpu(blob, 12, interpret=True) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (13, 15))
+def test_mt64_encode_kernel_high_bits(bits):
+    """B>12 device encode: the separate shift tables (l_lo/l_hi) engage."""
+    from pathlib import Path
+
+    data = np.fromfile(Path(__file__).parent / "corpus" / "corpus.bin", np.uint8)[:150_000]
+    blob = mt64_encode_tpu(data, bits, block_size=4096, interpret=True)
+    assert mt_decode(blob, bits, 64) == data.tobytes()
+    assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
