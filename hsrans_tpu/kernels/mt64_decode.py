@@ -461,16 +461,45 @@ def mt64_decode_tpu(
         if i is not None and i in decoded:
             out[b.out_start : b.out_start + b.size] = decoded[i]
         else:
-            part = _decode_block_host(b, stream, bits, length, n)
+            wc = w_all[i] if i is not None else None  # None: words to stream end
+            part = _decode_block_host(b, stream, bits, length, n, wc)
             if part is None:
                 return None
             out[b.out_start : b.out_start + part.size] = part
     return out.tobytes()
 
 
-def _decode_block_host(blk, stream, bits: int, length: int, n: int = N) -> np.ndarray | None:
-    """Oracle decode of one coded block (incl. the trailing partial group,
-    which belongs to the final coded block's lane chain — ops/mt.py)."""
+def _decode_block_host(blk, stream, bits: int, length: int, n: int = N, w_count: int | None = None) -> np.ndarray | None:
+    """Host decode of one coded block (incl. the trailing partial group,
+    which belongs to the final coded block's lane chain — ops/mt.py).
+
+    Fast path: synthesize a single-block mt blob and hand it to the native
+    C++ decoder (~GB/s) — this is what giant (>VMEM) greedy-planner blocks
+    on homogeneous data hit, where the numpy oracle would run at MiB/s.
+    The mini blob is semantically exact: rawLength' = blk.size for interior
+    blocks (n-aligned, no tail group decodes) and length - out_start for
+    the final coded block (reproducing the original tail geometry).
+    """
+    from ..runtime import native
+
+    if native.load() is not None:
+        length_p = (length - blk.out_start) if blk.is_last else blk.size
+        end_w = blk.word_start + w_count if w_count is not None else stream.size
+        words = stream[blk.word_start : end_w]
+        offset = 2 * n + 256 + words.size - 2
+        mini = bytearray()
+        mini += int(length_p).to_bytes(8, "little")
+        mini += b"\0" * 8
+        mini += int(blk.size).to_bytes(8, "little")
+        mini += int(offset).to_bytes(8, "little")
+        mini += blk.states.astype("<u4").tobytes()
+        mini += blk.freq.astype("<u2").tobytes()
+        mini += words.astype("<u2").tobytes()
+        mini[8:16] = len(mini).to_bytes(8, "little")
+        got = native.mt_decode(bytes(mini), bits, n, threads=1)
+        if got is not None and len(got) == length_p:
+            return np.frombuffer(got, np.uint8)
+
     from ..ops.reference import decode_full_groups, decode_tail_group
     from ..rans import IDX2IDX
 
