@@ -1,4 +1,5 @@
-"""Pallas TPU decoder for the *reference mt wire format* (mt_rANS32x64 16w).
+"""Pallas TPU decoder for the *reference mt wire format* (mt_rANS32xN 16w,
+n in {32, 64} — one grid step covers 512 bytes per block row either way).
 
 The reference decodes mt blobs by fanning self-contained blocks out to a
 CPU thread pool (/root/reference/src/mt_rANS32x64_16w_decode.cpp:137-265,
