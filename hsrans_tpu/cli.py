@@ -38,6 +38,11 @@ def _build_codecs(args) -> list[dict]:
 
     bits_range = range(args["hist_min"], args["hist_max"] + 1)
     codecs = []
+    # --max-simd none (backend numpy) must also downgrade the HOST tier:
+    # the numpy authorities run instead of the native AVX-512 codecs, so
+    # capability-downgrade rows measure what they claim to (the reference's
+    # --max-simd cascade, main.cpp:463-618)
+    scalar = args["backend"] == "numpy"
 
     def add(name, enc, dec, bits):
         codecs.append({"name": f"{name} {bits}", "enc": enc, "dec": dec})
@@ -45,34 +50,40 @@ def _build_codecs(args) -> list[dict]:
     for bits in bits_range:
         if args["raw"]:
             for n in (16, 32, 64):
-                add(
-                    f"rANS32x{n} 16w",
-                    (lambda b, n=n: lambda d: reference.raw_encode(d, b, n))(bits),
-                    (lambda b, n=n: lambda c: reference.raw_decode(c, b, n))(bits),
-                    bits,
-                )
+                if scalar:
+                    enc = (lambda b, n=n: lambda d: reference.raw_encode_16w(d, make_hist(d, b), n))(bits)
+                    dec = (lambda b, n=n: lambda c: reference.raw_decode_16w(c, b, n))(bits)
+                else:
+                    enc = (lambda b, n=n: lambda d: reference.raw_encode(d, b, n))(bits)
+                    dec = (lambda b, n=n: lambda c: reference.raw_decode(c, b, n))(bits)
+                add(f"rANS32x{n} 16w", enc, dec, bits)
         if args["blk32"]:
             for wb in (16, 8):
-                add(
-                    f"rANS32x32 32blk {wb}w",
-                    (lambda b, wb=wb: lambda d: blk32.blk32_encode_host(d, b, wb))(bits),
-                    (lambda b, wb=wb: lambda c: blk32.blk32_decode_host(c, b, wb))(bits),
-                    bits,
-                )
+                if scalar:
+                    enc = (lambda b, wb=wb: lambda d: blk32.blk32_encode(d, make_hist(d, b), wb))(bits)
+                    dec = (lambda b, wb=wb: lambda c: blk32.blk32_decode(c, b, wb))(bits)
+                else:
+                    enc = (lambda b, wb=wb: lambda d: blk32.blk32_encode_host(d, b, wb))(bits)
+                    dec = (lambda b, wb=wb: lambda c: blk32.blk32_decode_host(c, b, wb))(bits)
+                add(f"rANS32x32 32blk {wb}w", enc, dec, bits)
         if args["block"]:
             for n in (32, 64):
+                enc_fn = block.block_encode_py if scalar else block.block_encode
+                dec_fn = block.block_decode_py if scalar else block.block_decode
                 add(
                     f"block rANS32x{n} 16w",
-                    (lambda b, n=n: lambda d: block.block_encode(d, b, n))(bits),
-                    (lambda b, n=n: lambda c: block.block_decode(c, b, n))(bits),
+                    (lambda b, n=n, f=enc_fn: lambda d: f(d, b, n))(bits),
+                    (lambda b, n=n, f=dec_fn: lambda c: f(c, b, n))(bits),
                     bits,
                 )
         if args["mt"]:
             for n in (32, 64):
+                enc_fn = mt.mt_encode_py if scalar else mt.mt_encode
+                dec_fn = mt.mt_decode_py if scalar else mt.mt_decode
                 add(
                     f"mt rANS32x{n} 16w",
-                    (lambda b, n=n: lambda d: mt.mt_encode(d, b, n))(bits),
-                    (lambda b, n=n: lambda c: mt.mt_decode(c, b, n))(bits),
+                    (lambda b, n=n, f=enc_fn: lambda d: f(d, b, n))(bits),
+                    (lambda b, n=n, f=dec_fn: lambda c: f(c, b, n))(bits),
                     bits,
                 )
             if args["backend"] != "numpy" and bits <= 15:

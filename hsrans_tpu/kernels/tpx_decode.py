@@ -247,9 +247,15 @@ def _decode_mega(vlen, c0, bm, t1a, t1b, t2a, t2b, stream, init_states, *, rows,
 
 
 def chunk_major(stream_i32: np.ndarray) -> np.ndarray:
-    """[..., R, W] i32 row-major stream -> [..., W/128, R, 128] chunk-major
-    (the kernel's window build loads whole chunks by dynamic leading index)."""
+    """[..., R, W] i32 row-major stream -> [..., ceil(W/128), R, 128]
+    chunk-major (the kernel's window build loads whole chunks by dynamic
+    leading index).  Widths are zero-padded to a 128 multiple: wire blobs
+    may carry any w_slots the header validation admits."""
     *lead, r, w = stream_i32.shape
+    if w % 128:
+        pad = np.zeros((*lead, r, 128 - w % 128), stream_i32.dtype)
+        stream_i32 = np.concatenate([stream_i32, pad], axis=-1)
+        w = stream_i32.shape[-1]
     cm = stream_i32.reshape(*lead, r, w // 128, 128)
     axes = list(range(len(lead))) + [len(lead) + 1, len(lead), len(lead) + 2]
     return np.ascontiguousarray(cm.transpose(*axes))

@@ -280,14 +280,8 @@ def mt_decode(blob, bits: int, n: int, threads: int = 0) -> bytes | None:
 
 def blk32_encode(data: np.ndarray, bits: int, word_bits: int) -> bytes | None:
     """Native 32blk encode (16w/8w); hist computed internally."""
-    lib = load()
-    if lib is None:
-        return None
     cap = data.size + (data.size >> 2) + 32 * 8 + 1024
-    data = np.ascontiguousarray(data, dtype=np.uint8)
-    out = np.zeros(cap, dtype=np.uint8)
-    got = lib.hsr_blk32_encode(_u8p(data), data.size, _u8p(out), out.size, bits, word_bits)
-    return out[:got].tobytes() if got >= 0 else None
+    return _codec_encode("hsr_blk32_encode", data, bits, word_bits, cap)
 
 
 def blk32_decode(blob, bits: int, word_bits: int) -> bytes | None:

@@ -705,6 +705,9 @@ int64_t hsr_mt_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
     tasks.push_back(task);
     i += val;
     if (task.is_last) break;
+    // the forward skip must land inside the stream; an unchecked add would
+    // wrap uint64 for crafted offsets and defeat the r+4 bound above
+    if (offset > nwords || states_pos + offset + 1 > nwords) return -1;
     r = states_pos + offset + 1;
   }
   (void)last_coded;
@@ -912,7 +915,7 @@ int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *strea
                              uint64_t out_pos, uint64_t num_groups) {
   constexpr int NV = N / 16;  // 16 u32 states per zmm
   constexpr Perm<N> perm;
-  alignas(64) uint8_t inv[64];
+  alignas(64) uint8_t inv[64] = {};
   for (uint32_t j = 0; j < N; j++) inv[perm.p[j]] = (uint8_t)j;
   const __m512i inv_idx = _mm512_loadu_si512(inv);
   const __m512i slot_mask = _mm512_set1_epi32((1 << t->bits) - 1);

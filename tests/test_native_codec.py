@@ -116,3 +116,18 @@ def test_native_incompressible_data():
     for wb in (16, 8):
         assert native.blk32_decode(native.blk32_encode(d, 12, wb), 12, wb) == d.tobytes()
     assert native.block_encode(d, 12, 64) == block.block_encode_py(d, 12, 64)
+
+
+def test_native_mt_rejects_wrapping_offset():
+    """A crafted writeHeadOffset near 2^64 must not wrap the read cursor
+    past the bound check into a heap under-read; the walker rejects any
+    forward skip that leaves the stream."""
+    import struct
+
+    _native_or_skip()
+    d = _data(70_001)
+    blob = bytearray(native.mt_encode(d, 12, 64))
+    blob[24:32] = struct.pack("<Q", 2**64 - 20)  # first coded block's offset
+    assert native.mt_decode(bytes(blob), 12, 64) is None
+    blob[24:32] = struct.pack("<Q", 2**40)  # far past the stream, no wrap
+    assert native.mt_decode(bytes(blob), 12, 64) is None
