@@ -181,16 +181,24 @@ def _mt_bucket_slope(blob, bits, label, baseline):
     w_all = K.block_word_counts(blocks, kb, stream)
     sizes = {}
     for i, b in enumerate(kb):
-        sizes.setdefault(b.size, []).append(i)
-    size0, idxs = max(sizes.items(), key=lambda kv: kv[0] * len(kv[1]))
+        small = bits <= 12 and int(np.count_nonzero(b.freq)) <= 128
+        sizes.setdefault((b.size, small), []).append(i)
+    (size0, small), idxs = max(sizes.items(), key=lambda kv: kv[0][0] * len(kv[1]))
     idxs = sorted(idxs, key=lambda i: w_all[i])
-    arrs, kw = K.build_bucket_arrays([kb[i] for i in idxs], [w_all[i] for i in idxs], stream, bits)
+    use_pairs = small and len(idxs) >= 2 and K._USE_PAIR_KERNEL
+    if use_pairs:
+        idxs = idxs[: len(idxs) // 2 * 2]
+        arrs, kw = K.build_pair_arrays([kb[i] for i in idxs], [w_all[i] for i in idxs], stream, bits)
+        kernel_fn = K._decode_pairs
+    else:
+        arrs, kw = K.build_bucket_arrays([kb[i] for i in idxs], [w_all[i] for i in idxs], stream, bits)
+        kernel_fn = K._decode_blocks
     dev = [jnp.asarray(a) for a in arrs]
 
     def one_pass(carry, _):
         a = list(dev)
         a[7] = dev[7] ^ carry
-        o = K._decode_blocks(*a, **kw)
+        o = kernel_fn(*a, **kw)
         d = jax.lax.bitcast_convert_type(o[: dev[7].shape[0], :128], jnp.uint32) & jnp.uint32(1)
         return carry ^ d, o[0, 0]
 

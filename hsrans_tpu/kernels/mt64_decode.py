@@ -54,6 +54,7 @@ L = 128  # vector lanes per row
 # per-bucket VMEM budget for the double-buffered stream tile; with the
 # 100 MiB vmem_limit the practical gate is Mosaic's stack allocator
 _STREAM_TILE_BYTES = 6 << 20
+_USE_PAIR_KERNEL = True  # two blocks per row for small-rank B<=12 buckets
 
 
 def _inv_idx2idx64(p):
@@ -446,6 +447,18 @@ def mt64_decode_tpu(
         idxs = sorted(idxs, key=lambda i: w_all[i])
         blk = [kernel_blocks[i] for i in idxs]
         wc = [w_all[i] for i in idxs]
+        if _USE_PAIR_KERNEL and _small and bits <= 12 and n == 64 and mesh is None and len(idxs) >= 2:
+            # two blocks per 128-lane row (the step is latency-bound on its
+            # gather chain; sharing window/pack/matmul across a pair cuts
+            # gathers per byte ~1.4x); odd leftover joins the single path
+            nbp = len(idxs) // 2 * 2
+            rows2 = decode_bucket_paired(blk[:nbp], wc[:nbp], stream, bits, interpret)
+            if rows2 is not None:
+                for j in range(nbp):
+                    decoded[idxs[j]] = rows2[j]
+                blk, wc, idxs = blk[nbp:], wc[nbp:], idxs[nbp:]
+                if not idxs:
+                    continue
         rows = decode_bucket(blk, wc, stream, bits, interpret, mesh, axis, n)
         if rows is None:
             continue  # bucket out of scope -> host oracle per block
@@ -522,3 +535,238 @@ def _decode_block_host(blk, stream, bits: int, length: int, n: int = N, w_count:
         tail_bytes[perm[sel]] = tail[np.arange(n)[sel]]
         part = np.concatenate([part, tail_bytes])
     return part
+
+
+# ---------------------------------------------------------------------------
+# Paired-block kernel: TWO 64-lane blocks per 128-lane row (B<=12,
+# small-rank buckets).  The window fetch, output pack, prefix matmul and
+# elementwise ALU are shared across the pair, cutting the per-128-bytes
+# gather count from 14 to 10 — the step is latency-bound on its gather
+# chain, so bytes-per-chain is the lever.  Streams are stored as 64-slot
+# HALF-chunks: chunk c of row r holds slots 64c..64c+63 of block A in
+# lanes 0..63 and of block B in lanes 64..127; each half keeps its own
+# read cursor and window base.
+
+def _mt64_pair_kernel(
+    c0a_ref,  # VMEM [G, 128] i32: block A's rank-bucket coarse ranks
+    c0b_ref,  # VMEM [G, 128] i32: block B's
+    bma_ref,  # VMEM [G, 128] i32: boundary bitmasks (A)
+    bmb_ref,  # VMEM [G, 128] i32: (B)
+    tpa_ref,  # VMEM [G, 128] i32: packed rank table (A; <=128 ranks)
+    tpb_ref,  # VMEM [G, 128] i32: (B)
+    stream_ref,  # VMEM [C, G, 128] i32: interleaved half-chunk streams
+    init_ref,  # VMEM [G, 128] u32: A's states in lanes 0..63, B's in 64..127
+    out_ref,  # out VMEM [G, 128] i32: 4 steps x (16 A + 16 B) u32
+    states_scr,  # VMEM [G, 128] u32
+    rw_scr,  # VMEM [G, 128] i32 (per-half word cursors, broadcast per half)
+    *,
+    g_rows: int,
+    bits: int,
+):
+    s4 = pl.program_id(1)
+
+    @pl.when(s4 == 0)
+    def _():
+        states_scr[:] = init_ref[:]
+        rw_scr[:] = jnp.zeros((g_rows, L), jnp.int32)
+
+    mask_slot = jnp.uint32((1 << bits) - 1)
+    consume_point = jnp.uint32(DECODE_CONSUME_POINT_16)
+    w_chunks = stream_ref.shape[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
+    is_b = lane >= 64
+
+    # 3 half-chunk window per half: one invocation consumes <= 4 steps x
+    # 64 words = 128 slots per half; base-aligned to 64 slots -> max
+    # rel = 63 + 128 < 192.  The scan covers both halves' chunk ranges.
+    rwa = rw_scr[:, 0:1]
+    rwb = rw_scr[:, 64:65]
+    ca0 = (rwa >> 1) >> 6
+    cb0 = (rwb >> 1) >> 6
+    half_c0 = jnp.where(is_b, cb0, ca0)  # [G, 128]
+    cmin = jnp.minimum(jnp.min(ca0), jnp.min(cb0))
+    cmax = jnp.minimum(jnp.maximum(jnp.max(ca0), jnp.max(cb0)) + 3, w_chunks)
+
+    def wbody(c, win):
+        w0, w1, w2 = win
+        rowc = stream_ref[c]
+        w0 = jnp.where(half_c0 == c, rowc, w0)
+        w1 = jnp.where(half_c0 + 1 == c, rowc, w1)
+        w2 = jnp.where(half_c0 + 2 == c, rowc, w2)
+        return w0, w1, w2
+
+    zero_win = jnp.zeros((g_rows, 128), jnp.int32)
+    window = jax.lax.fori_loop(cmin, cmax, wbody, (zero_win, zero_win, zero_win))
+
+    c0a, c0b = c0a_ref[:], c0b_ref[:]
+    bma = pltpu.bitcast(bma_ref[:], jnp.uint32)
+    bmb = pltpu.bitcast(bmb_ref[:], jnp.uint32)
+    tpa, tpb = tpa_ref[:], tpb_ref[:]
+
+    # strict-lower triangular per 64-lane half (no cross-half coupling)
+    tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tri = ((tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))).astype(jnp.bfloat16)
+
+    # wire u32 w of step i: lanes 32i+w; w<16 -> A word w, else B word w-16;
+    # source lanes are consecutive: L0(w)+b (+64 for the B half)
+    w_in_step = lane & 31
+    wa = jnp.where(w_in_step < 16, w_in_step, w_in_step - 16)
+    l0_pair = (
+        4 * ((wa >> 2) & 1) + 8 * (wa & 3) + 32 * (wa >> 3)
+        + jnp.where(w_in_step < 16, 0, 64)
+    )
+    step_of_lane = lane >> 5
+
+    def step_fn(i, carry):
+        states, rw, packed = carry
+        slot = states & mask_slot
+        k = pltpu.bitcast(slot, jnp.int32) >> 5
+        ku = pltpu.bitcast(k, jnp.uint32)
+        c0v = jnp.where(is_b, jnp.take_along_axis(c0b, k, axis=1), jnp.take_along_axis(c0a, k, axis=1))
+        bmv = jnp.where(is_b, jnp.take_along_axis(bmb, ku, axis=1), jnp.take_along_axis(bma, ku, axis=1))
+        m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
+        rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
+        v1a = jnp.take_along_axis(tpa, rank, axis=1)
+        v1b = jnp.take_along_axis(tpb, rank, axis=1)
+        v1 = pltpu.bitcast(jnp.where(is_b, v1b, v1a), jnp.uint32)
+        sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
+        freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
+        cum = v1 >> jnp.uint32(20)
+
+        states = (states >> jnp.uint32(bits)) * freq + slot - cum
+        consume = states < consume_point
+
+        cb = consume.astype(jnp.bfloat16)
+        prefix = jnp.dot(cb, tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+        tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
+        tot_b = prefix[:, 127:128] + consume[:, 127:128].astype(jnp.int32)
+
+        widx = rw + prefix
+        rel = (widx >> 1) - (half_c0 << 6)  # in [0, 192) per half
+        hsel = rel >> 6  # window register 0..2
+        within = (lane & 64) | (rel & 63)  # stay inside the lane's half
+        w32 = jnp.zeros((g_rows, L), jnp.int32)
+        for h in range(3):
+            cand = jnp.take_along_axis(window[h], within, axis=1)
+            w32 = jnp.where(hsel == h, cand, w32)
+        word = (pltpu.bitcast(w32, jnp.uint32) >> pltpu.bitcast((widx & 1) << 4, jnp.uint32)) & jnp.uint32(0xFFFF)
+        states = jnp.where(consume, (states << jnp.uint32(16)) | word, states)
+        rw = rw + jnp.where(is_b, tot_b, tot_a)
+
+        p1 = pltpu.roll(sym, 127, 1)
+        p2 = pltpu.roll(sym, 126, 1)
+        p3 = pltpu.roll(sym, 125, 1)
+        pre = sym | (p1 << 8) | (p2 << 16) | (p3 << 24)
+        w_s = jnp.take_along_axis(pre, l0_pair, axis=1)
+        packed = jnp.where(step_of_lane == i, w_s, packed)
+        return states, rw, packed
+
+    carry = (states_scr[:], rw_scr[:], jnp.zeros((g_rows, L), jnp.int32))
+    states, rw, packed = jax.lax.fori_loop(0, 4, step_fn, carry)
+    states_scr[:] = states
+    rw_scr[:] = rw
+    out_ref[:] = packed
+
+
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "interpret"))
+def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, interpret=False):
+    kernel = functools.partial(_mt64_pair_kernel, g_rows=g_rows, bits=bits)
+    row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_groups, s4c),
+        in_specs=[row_spec] * 6
+        + [
+            pl.BlockSpec((w_chunks, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM),
+            row_spec,
+        ],
+        out_specs=pl.BlockSpec((g_rows, 128), lambda g, s4: (g, s4), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_groups * g_rows, s4c * 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((g_rows, L), jnp.uint32),
+            pltpu.VMEM((g_rows, L), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(c0a, c0b, bma, bmb, tpa, tpb, stream, init)
+
+
+def build_pair_arrays(
+    kernel_blocks: list,
+    w_counts: list[int],
+    stream: np.ndarray,
+    bits: int,
+) -> tuple[list[np.ndarray], dict] | None:
+    """Operands for the paired kernel (block 2p in lanes 0..63 of pair row
+    p, block 2p+1 in 64..127; 64-slot interleaved half-chunks)."""
+    nbp = len(kernel_blocks) // 2 * 2
+    if nbp < 2:
+        return None
+    pairs = nbp // 2
+    size0 = kernel_blocks[0].size
+    slots = [-(-w // 2) for w in w_counts[:nbp]]
+    w_chunks = max(2, -(-max(slots) // 64))
+    g_cap = _STREAM_TILE_BYTES // (w_chunks * 128 * 4)
+    g_cap = min(256, g_cap // 8 * 8)
+    if g_cap < 8:
+        return None
+    g_rows = g_cap if pairs >= g_cap else max(8, -(-pairs // 8) * 8)
+    npad = -(-pairs // g_rows) * g_rows
+
+    c0a = np.zeros((npad, 128), np.int32)
+    c0b = np.zeros((npad, 128), np.int32)
+    bma = np.zeros((npad, 128), np.int32)
+    bmb = np.zeros((npad, 128), np.int32)
+    tpa = np.zeros((npad, 128), np.int32)
+    tpb = np.zeros((npad, 128), np.int32)
+    init = np.full((npad, 128), DECODE_CONSUME_POINT_16, np.uint32)
+    stream_cm = np.zeros((w_chunks, npad, 128), np.uint32)
+    n_buckets = (1 << bits) // 32
+    for i in range(nbp):
+        b = kernel_blocks[i]
+        hist = complete_hist(b.freq, bits)
+        if hist is None:
+            return None
+        rt = make_rank_tables(hist)
+        p, hi = divmod(i, 2)
+        (c0b if hi else c0a)[p, :n_buckets] = rt["c0"]
+        (bmb if hi else bma)[p, :n_buckets] = rt["bm"]
+        (tpb if hi else tpa)[p] = rt["tp"][:128]
+        words = stream[b.word_start : b.word_start + w_counts[i]].astype(np.uint32)
+        if words.size & 1:
+            words = np.concatenate([words, np.zeros(1, np.uint32)])
+        padded = np.zeros(w_chunks * 64, np.uint32)
+        padded[: words.size // 2] = words[0::2] | (words[1::2] << np.uint32(16))
+        stream_cm[:, p, 64 * hi : 64 * hi + 64] = padded.reshape(w_chunks, 64)
+        init[p, 64 * hi : 64 * hi + N] = b.states
+
+    arrs = [c0a, c0b, bma, bmb, tpa, tpb, stream_cm.view(np.int32), init]
+    kw = dict(g_rows=g_rows, n_groups=npad // g_rows, s4c=size0 // 256, w_chunks=w_chunks, bits=bits)
+    return arrs, kw
+
+
+def decode_bucket_paired(
+    kernel_blocks: list,
+    w_counts: list[int],
+    stream: np.ndarray,
+    bits: int,
+    interpret: bool,
+) -> np.ndarray | None:
+    """Decode an even-count small-rank bucket two blocks per row;
+    returns [nbp, size] bytes for the paired prefix of the bucket."""
+    built = build_pair_arrays(kernel_blocks, w_counts, stream, bits)
+    if built is None:
+        return None
+    arrs, kw = built
+    size0 = kernel_blocks[0].size
+    packed = _decode_pairs(*[jnp.asarray(a) for a in arrs], **kw, interpret=interpret)
+    u32 = np.asarray(packed).reshape(-1, kw["s4c"], 4, 2, 16)
+    # [pair, inv, step, half, word] -> per-block contiguous bytes
+    a = np.ascontiguousarray(u32[:, :, :, 0, :]).view(np.uint8).reshape(-1, size0)
+    b = np.ascontiguousarray(u32[:, :, :, 1, :]).view(np.uint8).reshape(-1, size0)
+    out = np.empty((a.shape[0] * 2, size0), np.uint8)
+    out[0::2] = a
+    out[1::2] = b
+    return out
