@@ -54,7 +54,7 @@ L = 128  # vector lanes per row
 # per-bucket VMEM budget for the double-buffered stream tile; with the
 # 100 MiB vmem_limit the practical gate is Mosaic's stack allocator
 _STREAM_TILE_BYTES = 6 << 20
-_USE_PAIR_KERNEL = True  # two blocks per row for small-rank B<=12 buckets
+_USE_PAIR_KERNEL = True  # two blocks per row for B<=12 buckets (any rank width)
 
 
 def _inv_idx2idx64(p):
@@ -447,7 +447,7 @@ def mt64_decode_tpu(
         idxs = sorted(idxs, key=lambda i: w_all[i])
         blk = [kernel_blocks[i] for i in idxs]
         wc = [w_all[i] for i in idxs]
-        if _USE_PAIR_KERNEL and _small and bits <= 12 and n == 64 and mesh is None and len(idxs) >= 2:
+        if _USE_PAIR_KERNEL and bits <= 12 and n == 64 and mesh is None and len(idxs) >= 2:
             # two blocks per 128-lane row (the step is latency-bound on its
             # gather chain; sharing window/pack/matmul across a pair cuts
             # gathers per byte ~1.4x); odd leftover joins the single path
@@ -552,8 +552,10 @@ def _mt64_pair_kernel(
     c0b_ref,  # VMEM [G, 128] i32: block B's
     bma_ref,  # VMEM [G, 128] i32: boundary bitmasks (A)
     bmb_ref,  # VMEM [G, 128] i32: (B)
-    tpa_ref,  # VMEM [G, 128] i32: packed rank table (A; <=128 ranks)
-    tpb_ref,  # VMEM [G, 128] i32: (B)
+    tpa_ref,  # VMEM [G, 128] i32: packed rank table (A, ranks 0..127)
+    tpb_ref,  # VMEM [G, 128] i32: (B, ranks 0..127)
+    tpa_hi_ref,  # VMEM [G, 128] i32: ranks 128..255 (zeros when small_rank)
+    tpb_hi_ref,
     stream_ref,  # VMEM [C, G, 128] i32: interleaved half-chunk streams
     init_ref,  # VMEM [G, 128] u32: A's states in lanes 0..63, B's in 64..127
     out_ref,  # out VMEM [G, 128] i32: 4 steps x (16 A + 16 B) u32
@@ -562,6 +564,7 @@ def _mt64_pair_kernel(
     *,
     g_rows: int,
     bits: int,
+    small_rank: bool,
 ):
     s4 = pl.program_id(1)
 
@@ -603,6 +606,8 @@ def _mt64_pair_kernel(
     bma = pltpu.bitcast(bma_ref[:], jnp.uint32)
     bmb = pltpu.bitcast(bmb_ref[:], jnp.uint32)
     tpa, tpb = tpa_ref[:], tpb_ref[:]
+    if not small_rank:
+        tpa_hi, tpb_hi = tpa_hi_ref[:], tpb_hi_ref[:]
 
     # strict-lower triangular per 64-lane half (no cross-half coupling)
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
@@ -628,8 +633,12 @@ def _mt64_pair_kernel(
         bmv = jnp.where(is_b, jnp.take_along_axis(bmb, ku, axis=1), jnp.take_along_axis(bma, ku, axis=1))
         m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
         rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
-        v1a = jnp.take_along_axis(tpa, rank, axis=1)
-        v1b = jnp.take_along_axis(tpb, rank, axis=1)
+        if small_rank:
+            v1a = jnp.take_along_axis(tpa, rank, axis=1)
+            v1b = jnp.take_along_axis(tpb, rank, axis=1)
+        else:
+            v1a = gather256(tpa, tpa_hi, rank)
+            v1b = gather256(tpb, tpb_hi, rank)
         v1 = pltpu.bitcast(jnp.where(is_b, v1b, v1a), jnp.uint32)
         sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
         freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
@@ -670,14 +679,14 @@ def _mt64_pair_kernel(
     out_ref[:] = packed
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "interpret"))
-def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, interpret=False):
-    kernel = functools.partial(_mt64_pair_kernel, g_rows=g_rows, bits=bits)
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret"))
+def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False):
+    kernel = functools.partial(_mt64_pair_kernel, g_rows=g_rows, bits=bits, small_rank=small_rank)
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n_groups, s4c),
-        in_specs=[row_spec] * 6
+        in_specs=[row_spec] * 8
         + [
             pl.BlockSpec((w_chunks, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM),
             row_spec,
@@ -690,7 +699,7 @@ def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, stream, init, *, g_rows, n_group
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(c0a, c0b, bma, bmb, tpa, tpb, stream, init)
+    )(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init)
 
 
 def build_pair_arrays(
@@ -721,9 +730,12 @@ def build_pair_arrays(
     bmb = np.zeros((npad, 128), np.int32)
     tpa = np.zeros((npad, 128), np.int32)
     tpb = np.zeros((npad, 128), np.int32)
+    tpa_hi = np.zeros((npad, 128), np.int32)
+    tpb_hi = np.zeros((npad, 128), np.int32)
     init = np.full((npad, 128), DECODE_CONSUME_POINT_16, np.uint32)
     stream_cm = np.zeros((w_chunks, npad, 128), np.uint32)
     n_buckets = (1 << bits) // 32
+    small_rank = all(int(np.count_nonzero(b.freq)) <= 128 for b in kernel_blocks[:nbp])
     for i in range(nbp):
         b = kernel_blocks[i]
         hist = complete_hist(b.freq, bits)
@@ -734,6 +746,7 @@ def build_pair_arrays(
         (c0b if hi else c0a)[p, :n_buckets] = rt["c0"]
         (bmb if hi else bma)[p, :n_buckets] = rt["bm"]
         (tpb if hi else tpa)[p] = rt["tp"][:128]
+        (tpb_hi if hi else tpa_hi)[p] = rt["tp"][128:]
         words = stream[b.word_start : b.word_start + w_counts[i]].astype(np.uint32)
         if words.size & 1:
             words = np.concatenate([words, np.zeros(1, np.uint32)])
@@ -742,8 +755,11 @@ def build_pair_arrays(
         stream_cm[:, p, 64 * hi : 64 * hi + 64] = padded.reshape(w_chunks, 64)
         init[p, 64 * hi : 64 * hi + N] = b.states
 
-    arrs = [c0a, c0b, bma, bmb, tpa, tpb, stream_cm.view(np.int32), init]
-    kw = dict(g_rows=g_rows, n_groups=npad // g_rows, s4c=size0 // 256, w_chunks=w_chunks, bits=bits)
+    arrs = [c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream_cm.view(np.int32), init]
+    kw = dict(
+        g_rows=g_rows, n_groups=npad // g_rows, s4c=size0 // 256,
+        w_chunks=w_chunks, bits=bits, small_rank=small_rank,
+    )
     return arrs, kw
 
 
