@@ -132,6 +132,7 @@ def parse_args(argv: list[str]) -> dict:
         "block": True,
         "tpx": True,
         "backend": "auto",
+        "max_simd": None,
     }
     i = 0
     while i < len(argv):
@@ -155,15 +156,8 @@ def parse_args(argv: list[str]) -> dict:
         elif a.startswith("--exclude-"):
             args[a[10:].replace("-", "")] = False
         elif a == "--max-simd":
-            # capability downgrade (reference: main.cpp:463-618).  Only ever
-            # downgrades: the full level is a no-op, mid levels force the
-            # interpret tier, none forces the numpy scalar tier.
             i += 1
-            level = argv[i]
-            if level == "none":
-                args["backend"] = "numpy"
-            elif level not in ("avx512bw", "avx512f") and args["backend"] in ("auto", "device"):
-                args["backend"] = "interpret"
+            args["max_simd"] = argv[i]
         elif a == "--backend":
             i += 1
             args["backend"] = argv[i]
@@ -174,6 +168,21 @@ def parse_args(argv: list[str]) -> dict:
         elif not a.startswith("-"):
             args["file"] = a
         i += 1
+    # Capability downgrade (reference: main.cpp:463-618), resolved once AFTER
+    # all flags so the result is argument-order independent.  Only ever
+    # downgrades: the full level is a no-op, mid levels force the interpret
+    # tier, none forces the numpy scalar tier — even over an explicit
+    # --backend device (warned), never upgrading an explicit numpy.
+    level = args.pop("max_simd")
+    if level == "none":
+        if args["backend"] == "device":
+            print("warning: --max-simd none overrides --backend device", file=sys.stderr)
+        args["backend"] = "numpy"
+    elif level is not None and level not in ("avx512bw", "avx512f"):
+        if args["backend"] in ("auto", "device"):
+            if args["backend"] == "device":
+                print(f"warning: --max-simd {level} overrides --backend device", file=sys.stderr)
+            args["backend"] = "interpret"
     return args
 
 

@@ -245,7 +245,13 @@ def _codec_decode(fn_name: str, blob, bits: int, n: int, *extra) -> bytes | None
     length = int.from_bytes(buf[:8].tobytes(), "little")
     if length > (1 << 40):
         return None  # implausible header; avoid huge allocation
-    out = np.zeros(max(length, 1), dtype=np.uint8)
+    try:
+        # the header length is untrusted: a forged rawLength below the
+        # plausibility cap can still exceed available memory, and the
+        # malformed-input contract is "return None, never raise"
+        out = np.zeros(max(length, 1), dtype=np.uint8)
+    except MemoryError:
+        return None
     got = getattr(lib, fn_name)(_u8p(buf), buf.size, _u8p(out), out.size, bits, n, *extra)
     return out[:got].tobytes() if got >= 0 else None
 

@@ -632,13 +632,36 @@ void mt_block_worker(void *arg) {
   const uint64_t out_len_states = b->length + 1 > b->n ? b->length - b->n + 1 : 0;
   uint64_t block_end = b->out_start + b->block_size;
   if (block_end > out_len_states) block_end = out_len_states;
-  const uint64_t groups =
-      block_end > b->out_start ? (block_end - b->out_start + b->n - 1) / b->n : 0;
+  const uint64_t span = block_end > b->out_start ? block_end - b->out_start : 0;
+  // Non-last blocks whose size isn't a multiple of n may NOT write the
+  // ceil-group overshoot into the next block's output range: the sequential
+  // oracle (ops/mt.py mt_decode_py) resolves the overlap by decode order
+  // (later block wins), but here RLE memsets run during the header walk and
+  // coded blocks run concurrently, so an overshoot would race with — or
+  // clobber — the following block.  Decode floor(span/n) groups in place and
+  // route the partial group through a scratch line, copying only the bytes
+  // inside this block's range.
+  uint64_t groups = (span + b->n - 1) / b->n;
+  uint64_t rem = 0;
+  if (!b->is_last) {
+    groups = span / b->n;
+    rem = span % b->n;
+  }
   int64_t r = decode_span(&co, &t, b->stream, b->nwords, b->word_start, b->out,
                           b->out_start, groups, b->length, b->length);
   if (r < 0) {
     b->fail->store(1);
     return;
+  }
+  if (rem) {
+    uint8_t scratch[64];
+    r = decode_span(&co, &t, b->stream, b->nwords, (uint64_t)r, scratch, 0, 1,
+                    b->length, b->length);
+    if (r < 0) {
+      b->fail->store(1);
+      return;
+    }
+    memcpy(b->out + b->out_start + groups * b->n, scratch, rem);
   }
   if (b->is_last && b->out_start + groups * b->n < b->length) {
     // trailing partial lane group belongs to the last coded block's chain

@@ -131,3 +131,69 @@ def test_native_mt_rejects_wrapping_offset():
     assert native.mt_decode(bytes(blob), 12, 64) is None
     blob[24:32] = struct.pack("<Q", 2**40)  # far past the stream, no wrap
     assert native.mt_decode(bytes(blob), 12, 64) is None
+
+
+def test_native_mt_unaligned_block_sizes():
+    """Coded blocks whose size % n != 0 (format-valid via a custom plan):
+    the sequential oracle resolves the ceil-group overshoot by decode order
+    (the later block overwrites), so the concurrent native path must clamp
+    every worker to its own output range — an overshoot would clobber a
+    following RLE block (threads=1) or race a coded one (advisor r2, high)."""
+    from hsrans_tpu.ops.planner import BlockPlan
+
+    _native_or_skip()
+    rng = np.random.default_rng(7)
+    part0 = rng.integers(0, 50, 10_000, dtype=np.uint8)
+    part1 = np.full(48, 7, dtype=np.uint8)
+    part2 = rng.integers(0, 200, 20_001, dtype=np.uint8)
+    d = np.concatenate([part0, part1, part2])
+    plan = [
+        BlockPlan(0, part0.size, False, 0, make_hist(part0, 12).symbol_count),
+        BlockPlan(part0.size, part1.size, True, 7, None),
+        BlockPlan(10_048, part2.size, False, 0, make_hist(part2, 12).symbol_count),
+    ]
+    blob = mt.mt_encode_py(d, 12, 64, plan=plan)
+    assert mt.mt_decode_py(blob, 12, 64) == d.tobytes()
+    for threads in (1, 0):
+        assert native.mt_decode(blob, 12, 64, threads=threads) == d.tobytes(), f"threads={threads}"
+
+
+def test_native_mt_unaligned_many_blocks_threaded():
+    """Many adjacent unaligned coded blocks decoded by the thread pool: any
+    cross-block overshoot races a neighbor's writes (flaky corruption in the
+    pre-fix build ~50% of runs)."""
+    from hsrans_tpu.ops.planner import BlockPlan
+
+    _native_or_skip()
+    rng = np.random.default_rng(11)
+    bs = 997  # not a multiple of 32 or 64
+    nblk = 200
+    # total size is a multiple of bs: a block boundary inside the final
+    # n-byte tail window is not representable (the walk stops at the first
+    # block entering that window — mt_rANS32x64_16w_decode.cpp:209-214)
+    d = rng.integers(0, 64, bs * nblk, dtype=np.uint8)
+    for n in (32, 64):
+        plan = []
+        pos = 0
+        while pos < d.size:
+            size = min(bs, d.size - pos)
+            seg = d[pos : pos + size]
+            plan.append(BlockPlan(pos, size, False, 0, make_hist(seg, 12).symbol_count))
+            pos += size
+        blob = mt.mt_encode_py(d, 12, n, plan=plan)
+        assert mt.mt_decode_py(blob, 12, n) == d.tobytes()
+        for _ in range(5):
+            assert native.mt_decode(blob, 12, n, threads=8) == d.tobytes()
+
+
+def test_decode_forged_rawlength_returns_none():
+    """A tiny blob with a forged (huge but sub-cap) rawLength must return
+    None, not raise MemoryError from the output allocation (advisor r2)."""
+    import struct
+
+    _native_or_skip()
+    d = _data(600)
+    blob = bytearray(mt.mt_encode(d, 12, 64))
+    blob[0:8] = struct.pack("<Q", (1 << 40) - 1)  # ~1 TiB claim, 600 B blob
+    out = native.mt_decode(bytes(blob), 12, 64)
+    assert out is None or out != d.tobytes()  # never raises
