@@ -199,8 +199,9 @@ def _mt_bucket_slope(blob, bits, label, baseline):
         a = list(dev)
         a[7] = dev[7] ^ carry
         o = kernel_fn(*a, **kw)
-        d = jax.lax.bitcast_convert_type(o[: dev[7].shape[0], :128], jnp.uint32) & jnp.uint32(1)
-        return carry ^ d, o[0, 0]
+        ob = o[-1][0] if isinstance(o, list) else o  # sliced pairs return [(out, perm)]
+        d = jax.lax.bitcast_convert_type(ob[: dev[7].shape[0], :128], jnp.uint32) & jnp.uint32(1)
+        return carry ^ d, ob[0, 0]
 
     def many(n):
         @jax.jit

@@ -53,8 +53,26 @@ L = 128  # vector lanes per row
 
 # per-bucket VMEM budget for the double-buffered stream tile; with the
 # 100 MiB vmem_limit the practical gate is Mosaic's stack allocator
-_STREAM_TILE_BYTES = 6 << 20
+import os as _os
+
+_STREAM_TILE_BYTES = int(_os.environ.get("HSRANS_STREAM_TILE_MB", "6")) << 20
+_PAIR_TILE_BYTES = int(_os.environ.get("HSRANS_PAIR_TILE_MB", "24")) << 20
 _USE_PAIR_KERNEL = True  # two blocks per row for B<=12 buckets (any rank width)
+_PREFIX_MXU = True  # triangular-matmul prefix vs log-shift rolls (experiment)
+
+
+def _exclusive_prefix_halves(consume, g_rows: int, lane):
+    """Exclusive prefix sum of the consume mask within each 64-lane half.
+
+    Log-shift (Hillis-Steele) form: 7 roll+masked-add stages on the VPU.
+    Alternative to the MXU triangular matmul — lower fixed latency, no MXU
+    round-trip, at the cost of ~7 dependent VPU ops."""
+    half_pos = lane & 63
+    e = jnp.where(half_pos >= 1, pltpu.roll(consume.astype(jnp.int32), 1, 1), 0)
+    s = e
+    for d in (1, 2, 4, 8, 16, 32):
+        s = s + jnp.where(half_pos >= d, pltpu.roll(s, d, 1), 0)
+    return s
 
 
 def _inv_idx2idx64(p):
@@ -141,14 +159,15 @@ def _mt64_kernel(
     tri = ((tri_r < tri_c) & (tri_r < n) & (tri_c < n)).astype(jnp.bfloat16)
 
     # Wire word w sources CONSECUTIVE rANS lanes: inv_idx2idx(4w+b) =
-    # L0(w) + b with L0(w) = 4*((w>>2)&1) + 8*(w&3) + 32*(w>>3), so the
-    # output pack is 3 static lane-rolls + ONE shuffle instead of 4.
+    # L0(w) + b with L0(w) = 4*((w>>2)&1) + 8*(w&3) + 32*(w>>3); the pack
+    # transpose runs once per invocation in the finalize below.
     w_idx = lane % u32s
     l0_idx = 4 * ((w_idx >> 2) & 1) + 8 * (w_idx & 3) + 32 * (w_idx >> 3)
     step_of_lane = lane // u32s  # which step's u32s live in this lane group
+    n_acc = (128 // u32s) // 4  # one acc register per 4 steps
 
     def step_fn(i, carry):
-        states, rw, packed = carry
+        states, rw, *accs = carry
         slot = states & mask_slot
         k = pltpu.bitcast(slot, jnp.int32) >> 5
         if n_chunks == 1:
@@ -220,22 +239,30 @@ def _mt64_kernel(
         states = jnp.where(consume, (new_states << jnp.uint32(16)) | word, new_states)
         rw = rw + total
 
-        # pack this step's n symbols as n/4 wire-order u32s at lane group i:
-        # byte-pack lanes l..l+3 via rolls, then one L0-pattern shuffle
-        # (the rolled-in wraparound lanes are never selected: L0+3 < 64)
-        p1 = pltpu.roll(sym, 127, 1)
-        p2 = pltpu.roll(sym, 126, 1)
-        p3 = pltpu.roll(sym, 125, 1)
-        pre = sym | (p1 << 8) | (p2 << 16) | (p3 << 24)
-        w_s = jnp.take_along_axis(pre, l0_idx, axis=1)
-        packed = jnp.where(step_of_lane == i, w_s, packed)
-        return states, rw, packed
+        # vertical pack: byte (i&3) of acc_(i>>2)[l] = step i's symbol at
+        # lane l.  Pure elementwise on the hot loop (no lane-crossing
+        # rolls); the wire-order transpose happens once in the finalize.
+        v = sym << ((i & 3) * 8)
+        accs = [jnp.where((i >> 2) == q, a | v, a) for q, a in enumerate(accs)]
+        return (states, rw, *accs)
 
-    carry = (states_scr[:], rw_scr[:], jnp.zeros((g_rows, L), jnp.int32))
-    states, rw, packed = jax.lax.fori_loop(0, 128 // u32s, step_fn, carry)
+    zero = jnp.zeros((g_rows, L), jnp.int32)
+    carry = (states_scr[:], rw_scr[:]) + (zero,) * n_acc
+    states, rw, *accs = jax.lax.fori_loop(0, 128 // u32s, step_fn, carry)
     states_scr[:] = states
     rw_scr[:] = rw
-    out_ref[:] = packed
+    # finalize: wire u32 lane w = step step_of_lane(w)'s bytes at source
+    # lanes l0..l0+3 (select the step's acc AFTER each gather: the source
+    # lane's own step differs from the out lane's)
+    shift_i = (step_of_lane & 3) * 8
+    acc_q = step_of_lane >> 2
+    out = zero
+    for k in range(4):
+        g = jnp.take_along_axis(accs[0], l0_idx + k, axis=1)
+        for q in range(1, n_acc):
+            g = jnp.where(acc_q == q, jnp.take_along_axis(accs[q], l0_idx + k, axis=1), g)
+        out = out | (((g >> shift_i) & 0xFF) << (k * 8))
+    out_ref[:] = out
 
 
 @functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s8c", "w_slots", "bits", "n", "small_rank", "interpret"))
@@ -558,20 +585,24 @@ def _mt64_pair_kernel(
     tpb_hi_ref,
     stream_ref,  # VMEM [C, G, 128] i32: interleaved half-chunk streams
     init_ref,  # VMEM [G, 128] u32: A's states in lanes 0..63, B's in 64..127
+    rw_in_ref,  # VMEM [G, 128] i32: per-half word cursors on slice entry
     out_ref,  # out VMEM [G, 128] i32: 4 steps x (16 A + 16 B) u32
+    states_out_ref,  # out VMEM [G, 128] u32: states on slice exit
+    rw_out_ref,  # out VMEM [G, 128] i32: cursors on slice exit
     states_scr,  # VMEM [G, 128] u32
     rw_scr,  # VMEM [G, 128] i32 (per-half word cursors, broadcast per half)
     *,
     g_rows: int,
     bits: int,
     small_rank: bool,
+    s4c_slice: int,
 ):
     s4 = pl.program_id(1)
 
     @pl.when(s4 == 0)
     def _():
         states_scr[:] = init_ref[:]
-        rw_scr[:] = jnp.zeros((g_rows, L), jnp.int32)
+        rw_scr[:] = rw_in_ref[:]
 
     mask_slot = jnp.uint32((1 << bits) - 1)
     consume_point = jnp.uint32(DECODE_CONSUME_POINT_16)
@@ -590,6 +621,8 @@ def _mt64_pair_kernel(
     half_c0 = jnp.where(is_b, cb0, ca0)  # [G, 128]
     cmin = jnp.minimum(jnp.min(ca0), jnp.min(cb0))
     cmax = jnp.minimum(jnp.maximum(jnp.max(ca0), jnp.max(cb0)) + 3, w_chunks)
+    if _os.environ.get("HSRANS_WINDOW_TIMING_HACK") == "1":
+        cmax = cmin + 3  # WRONG OUTPUT: counterfactual timing of a spread-free scan
 
     def wbody(c, win):
         w0, w1, w2 = win
@@ -622,10 +655,8 @@ def _mt64_pair_kernel(
         4 * ((wa >> 2) & 1) + 8 * (wa & 3) + 32 * (wa >> 3)
         + jnp.where(w_in_step < 16, 0, 64)
     )
-    step_of_lane = lane >> 5
-
     def step_fn(i, carry):
-        states, rw, packed = carry
+        states, rw, acc = carry
         slot = states & mask_slot
         k = pltpu.bitcast(slot, jnp.int32) >> 5
         ku = pltpu.bitcast(k, jnp.uint32)
@@ -647,8 +678,13 @@ def _mt64_pair_kernel(
         states = (states >> jnp.uint32(bits)) * freq + slot - cum
         consume = states < consume_point
 
-        cb = consume.astype(jnp.bfloat16)
-        prefix = jnp.dot(cb, tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+        if _os.environ.get("HSRANS_NO_MATMUL") == "1":
+            prefix = consume.astype(jnp.int32)  # WRONG OUTPUT: timing counterfactual
+        elif _PREFIX_MXU:
+            cb = consume.astype(jnp.bfloat16)
+            prefix = jnp.dot(cb, tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+        else:
+            prefix = _exclusive_prefix_halves(consume, g_rows, lane)
         tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
         tot_b = prefix[:, 127:128] + consume[:, 127:128].astype(jnp.int32)
 
@@ -664,42 +700,108 @@ def _mt64_pair_kernel(
         states = jnp.where(consume, (states << jnp.uint32(16)) | word, states)
         rw = rw + jnp.where(is_b, tot_b, tot_a)
 
-        p1 = pltpu.roll(sym, 127, 1)
-        p2 = pltpu.roll(sym, 126, 1)
-        p3 = pltpu.roll(sym, 125, 1)
-        pre = sym | (p1 << 8) | (p2 << 16) | (p3 << 24)
-        w_s = jnp.take_along_axis(pre, l0_pair, axis=1)
-        packed = jnp.where(step_of_lane == i, w_s, packed)
-        return states, rw, packed
+        # vertical pack: byte i of acc[l] = step i's symbol at lane l.  Pure
+        # elementwise (no lane-crossing rolls on the hot loop); the wire-
+        # order transpose happens once per invocation in the finalize below.
+        acc = acc | (sym << (i * 8))
+        return states, rw, acc
 
     carry = (states_scr[:], rw_scr[:], jnp.zeros((g_rows, L), jnp.int32))
-    states, rw, packed = jax.lax.fori_loop(0, 4, step_fn, carry)
+    states, rw, acc = jax.lax.fori_loop(0, 4, step_fn, carry)
     states_scr[:] = states
     rw_scr[:] = rw
-    out_ref[:] = packed
+
+    @pl.when(s4 == s4c_slice - 1)
+    def _():
+        states_out_ref[:] = states
+        rw_out_ref[:] = rw
+
+    # finalize: wire u32 lane w = step (w>>5)'s bytes at lanes l0..l0+3
+    shift_i = (lane >> 5) * 8
+    b0 = (jnp.take_along_axis(acc, l0_pair, axis=1) >> shift_i) & 0xFF
+    b1 = (jnp.take_along_axis(acc, l0_pair + 1, axis=1) >> shift_i) & 0xFF
+    b2 = (jnp.take_along_axis(acc, l0_pair + 2, axis=1) >> shift_i) & 0xFF
+    b3 = (jnp.take_along_axis(acc, l0_pair + 3, axis=1) >> shift_i) & 0xFF
+    out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret"))
-def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False):
-    kernel = functools.partial(_mt64_pair_kernel, g_rows=g_rows, bits=bits, small_rank=small_rank)
+def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw, *, g_rows, n_groups, s4c_slice, w_chunks, bits, small_rank, interpret):
+    """One time slice of the paired decode: s4c_slice invocations per group,
+    states/cursors in and out (so the driver can regroup rows between
+    slices)."""
+    kernel = functools.partial(
+        _mt64_pair_kernel, g_rows=g_rows, bits=bits, small_rank=small_rank, s4c_slice=s4c_slice
+    )
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
+    npad = n_groups * g_rows
     return pl.pallas_call(
         kernel,
-        grid=(n_groups, s4c),
+        grid=(n_groups, s4c_slice),
         in_specs=[row_spec] * 8
         + [
             pl.BlockSpec((w_chunks, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM),
             row_spec,
+            row_spec,
         ],
-        out_specs=pl.BlockSpec((g_rows, 128), lambda g, s4: (g, s4), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_groups * g_rows, s4c * 128), jnp.int32),
+        out_specs=[
+            pl.BlockSpec((g_rows, 128), lambda g, s4: (g, s4), memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, s4c_slice * 128), jnp.int32),
+            jax.ShapeDtypeStruct((npad, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((npad, 128), jnp.int32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((g_rows, L), jnp.uint32),
             pltpu.VMEM((g_rows, L), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init)
+    )(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw)
+
+
+# Invocations per time slice.  Cursor-regroup slicing (argsort between
+# slices) measured NET NEGATIVE at the even-split geometry (9.1 -> 8.4
+# GiB/s at 64): the in-jit sort+permute chain costs more than the window
+# scan it saves.  Kept at "one slice" = plain decode; the machinery stays
+# for experiments via HSRANS_SLICE_S4.
+_SLICE_S4 = int(_os.environ.get("HSRANS_SLICE_S4", "1000000"))
+
+
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret"))
+def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False):
+    """Time-sliced paired decode with cursor regrouping.
+
+    Rows of one bucket drift apart in stream position as they decode
+    (compressed lengths differ), and the per-invocation window scan costs
+    O(per-group cursor spread).  Between slices of _SLICE_S4 invocations
+    the driver re-sorts rows by current cursor (argsort + operand gather —
+    a few % of HBM traffic), so every group's spread stays at the drift
+    accumulated over ONE slice.  Returns (bytes, perm): row j of `bytes`
+    is original row perm[j].
+    """
+    npad = c0a.shape[0]
+    tabs = [c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi]
+    states = init
+    rw = jnp.zeros((npad, 128), jnp.int32)
+    perm = jnp.arange(npad, dtype=jnp.int32)
+    n_slices = -(-s4c // _SLICE_S4)
+    outs = []
+    kw = dict(g_rows=g_rows, n_groups=n_groups, w_chunks=w_chunks, bits=bits, small_rank=small_rank, interpret=interpret)
+    for t in range(n_slices):
+        if t > 0 and n_slices > 1 and npad > g_rows:
+            order = jnp.argsort(rw[:, 0])
+            tabs = [a[order] for a in tabs]
+            stream = stream[:, order]
+            states = states[order]
+            rw = rw[order]
+            perm = perm[order]
+        s4c_t = min(_SLICE_S4, s4c - t * _SLICE_S4)
+        out, states, rw = _pairs_slice_call(*tabs, stream, states, rw, s4c_slice=s4c_t, **kw)
+        outs.append((out, perm))
+    return outs
 
 
 def build_pair_arrays(
@@ -717,12 +819,18 @@ def build_pair_arrays(
     size0 = kernel_blocks[0].size
     slots = [-(-w // 2) for w in w_counts[:nbp]]
     w_chunks = max(2, -(-max(slots) // 64))
-    g_cap = _STREAM_TILE_BYTES // (w_chunks * 128 * 4)
-    g_cap = min(256, g_cap // 8 * 8)
+    # time-sliced decode keeps the window scan spread-free, so pair groups
+    # can run much deeper than the generic tile budget allows (the gate is
+    # VMEM capacity, not scan cost)
+    g_cap = _PAIR_TILE_BYTES // (w_chunks * 128 * 4)
+    g_cap = min(int(_os.environ.get("HSRANS_PAIR_GCAP", "256")), g_cap // 8 * 8)
     if g_cap < 8:
         return None
-    g_rows = g_cap if pairs >= g_cap else max(8, -(-pairs // 8) * 8)
-    npad = -(-pairs // g_rows) * g_rows
+    # split pairs EVENLY over the minimum group count: padding rows decode
+    # dead bytes at full price (299 pairs at g_cap 256 would pad 42%)
+    n_grp = -(-pairs // g_cap)
+    g_rows = max(8, -(-(-(-pairs // n_grp)) // 8) * 8)
+    npad = n_grp * g_rows
 
     c0a = np.zeros((npad, 128), np.int32)
     c0b = np.zeros((npad, 128), np.int32)
@@ -777,12 +885,235 @@ def decode_bucket_paired(
         return None
     arrs, kw = built
     size0 = kernel_blocks[0].size
-    packed = _decode_pairs(*[jnp.asarray(a) for a in arrs], **kw, interpret=interpret)
-    u32 = np.asarray(packed).reshape(-1, kw["s4c"], 4, 2, 16)
-    # [pair, inv, step, half, word] -> per-block contiguous bytes
-    a = np.ascontiguousarray(u32[:, :, :, 0, :]).view(np.uint8).reshape(-1, size0)
-    b = np.ascontiguousarray(u32[:, :, :, 1, :]).view(np.uint8).reshape(-1, size0)
-    out = np.empty((a.shape[0] * 2, size0), np.uint8)
-    out[0::2] = a
-    out[1::2] = b
+    if _PAIR_V2:
+        packed = _decode_pairs_v2(*[jnp.asarray(a) for a in arrs], **kw, interpret=interpret)
+        u32 = np.asarray(packed).reshape(-1, kw["s4c"], 4, 2, 16)
+        # [pair, inv, step, half, word] -> per-block contiguous bytes
+        a = np.ascontiguousarray(u32[:, :, :, 0, :]).view(np.uint8).reshape(-1, size0)
+        b = np.ascontiguousarray(u32[:, :, :, 1, :]).view(np.uint8).reshape(-1, size0)
+        out = np.empty((a.shape[0] * 2, size0), np.uint8)
+        out[0::2] = a
+        out[1::2] = b
+        return out
+    slices = _decode_pairs(*[jnp.asarray(a) for a in arrs], **kw, interpret=interpret)
+    npad = arrs[0].shape[0]
+    out = np.empty((npad * 2, size0), np.uint8)
+    col = 0
+    for out_t, perm_t in slices:
+        o = np.asarray(out_t)
+        p = np.asarray(perm_t)
+        s4c_t = o.shape[1] // 128
+        span = s4c_t * 256
+        u32 = o.reshape(npad, s4c_t, 4, 2, 16)
+        a = np.ascontiguousarray(u32[:, :, :, 0, :]).view(np.uint8).reshape(npad, span)
+        b = np.ascontiguousarray(u32[:, :, :, 1, :]).view(np.uint8).reshape(npad, span)
+        out[2 * p, col : col + span] = a
+        out[2 * p + 1, col : col + span] = b
+        col += span
     return out
+
+
+# ---------------------------------------------------------------------------
+# Paired-block kernel v2: annotated-stream pipeline.
+#
+# The renorm feedback is the whole reason the decode chain is serial: a
+# consumed lane's next slot decides the next table lookups, and the word it
+# consumes depends on every earlier lane's consume flag.  But for B <= 15
+# the next slot after a renorm is EXACTLY `word & mask` — `(new << 16) &
+# mask == 0` — i.e. it depends only on the *stream word*, not on the lane's
+# state.  So a fully parallel pre-pass (`_annotate_pairs`) can stamp every
+# stream word with the rank its low bits map to, and the serial kernel's
+# critical cycle collapses to:
+#
+#     rank -> table gather -> state ALU -> prefix matmul -> pool select
+#
+# (two gathers + one matmul per step); the rank-of-slot chain for
+# non-consuming lanes and the stream-window maintenance run OFF the
+# critical path, where the VPU's deep pipeline hides them (measured: the
+# 3-roll output pack was free there too).
+
+_PAIR_V2 = False  # annotated-stream variant: measured neutral (docs/KERNEL_NOTES.md)
+
+
+def _annotate_pairs(raw_ref, c0a_ref, c0b_ref, bma_ref, bmb_ref, out_ref, *, g_rows, bits):
+    """ann[c][lane] = word | rank(word & mask) << 16 for word (lane&63) of
+    64-word half-chunk c (A half in lanes 0..63, B half in 64..127)."""
+    c = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
+    is_b = lane >= 64
+    # half-chunk c's words live in raw slots 32c..32c+32 of the same half
+    idx = (lane & 64) | ((c & 1) * 32 + ((lane & 63) >> 1))
+    slot32 = pltpu.bitcast(jnp.take_along_axis(raw_ref[0], idx, axis=1), jnp.uint32)
+    word = (slot32 >> pltpu.bitcast((lane & 1) << 4, jnp.uint32)) & jnp.uint32(0xFFFF)
+    slot = word & jnp.uint32((1 << bits) - 1)
+    k = pltpu.bitcast(slot, jnp.int32) >> 5
+    ku = pltpu.bitcast(k, jnp.uint32)
+    c0v = jnp.where(is_b, jnp.take_along_axis(c0b_ref[:], k, axis=1), jnp.take_along_axis(c0a_ref[:], k, axis=1))
+    bma = pltpu.bitcast(bma_ref[:], jnp.uint32)
+    bmb = pltpu.bitcast(bmb_ref[:], jnp.uint32)
+    bmv = jnp.where(is_b, jnp.take_along_axis(bmb, ku, axis=1), jnp.take_along_axis(bma, ku, axis=1))
+    m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
+    rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
+    out_ref[0] = pltpu.bitcast(word, jnp.int32) | (rank << 16)
+
+
+def _mt64_pair_kernel_v2(
+    c0a_ref, c0b_ref, bma_ref, bmb_ref,  # VMEM [G, 128] i32 (nc-rank chain)
+    tpa_ref, tpb_ref, tpa_hi_ref, tpb_hi_ref,  # packed rank tables
+    ann_ref,  # VMEM [CA, G, 128] i32: annotated 64-word half-chunks
+    init_ref,  # VMEM [G, 128] u32
+    out_ref,  # out VMEM [G, 128] i32
+    states_scr, rw_scr, rank_scr,
+    *,
+    g_rows: int,
+    bits: int,
+    small_rank: bool,
+):
+    s4 = pl.program_id(1)
+    mask_slot = jnp.uint32((1 << bits) - 1)
+    consume_point = jnp.uint32(DECODE_CONSUME_POINT_16)
+    ca = ann_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
+    is_b = lane >= 64
+
+    c0a, c0b = c0a_ref[:], c0b_ref[:]
+    bma = pltpu.bitcast(bma_ref[:], jnp.uint32)
+    bmb = pltpu.bitcast(bmb_ref[:], jnp.uint32)
+    tpa, tpb = tpa_ref[:], tpb_ref[:]
+    if not small_rank:
+        tpa_hi, tpb_hi = tpa_hi_ref[:], tpb_hi_ref[:]
+
+    def rank_of(slot):
+        k = pltpu.bitcast(slot, jnp.int32) >> 5
+        ku = pltpu.bitcast(k, jnp.uint32)
+        c0v = jnp.where(is_b, jnp.take_along_axis(c0b, k, axis=1), jnp.take_along_axis(c0a, k, axis=1))
+        bmv = jnp.where(is_b, jnp.take_along_axis(bmb, ku, axis=1), jnp.take_along_axis(bma, ku, axis=1))
+        m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
+        return c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
+
+    @pl.when(s4 == 0)
+    def _():
+        states_scr[:] = init_ref[:]
+        rw_scr[:] = jnp.zeros((g_rows, L), jnp.int32)
+        rank_scr[:] = rank_of(init_ref[:] & mask_slot)
+
+    # 6-chunk window per half: one invocation consumes <= 4 * 64 words per
+    # half; pool reads span [rw, rw + 63], so 63 + 256 < 384 = 6 * 64.
+    rwa = rw_scr[:, 0:1]
+    rwb = rw_scr[:, 64:65]
+    ca0 = rwa >> 6
+    cb0 = rwb >> 6
+    half_c0 = jnp.where(is_b, cb0, ca0)
+    cmin = jnp.minimum(jnp.min(ca0), jnp.min(cb0))
+    cmax = jnp.minimum(jnp.maximum(jnp.max(ca0), jnp.max(cb0)) + 6, ca)
+
+    def wbody(c, win):
+        rowc = ann_ref[c]
+        return tuple(
+            jnp.where(half_c0 + h == c, rowc, win[h]) for h in range(6)
+        )
+
+    zero_win = jnp.zeros((g_rows, 128), jnp.int32)
+    window = jax.lax.fori_loop(cmin, cmax, wbody, (zero_win,) * 6)
+    base_w = half_c0 << 6
+
+    tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tri = ((tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))).astype(jnp.bfloat16)
+
+    w_in_step = lane & 31
+    wa = jnp.where(w_in_step < 16, w_in_step, w_in_step - 16)
+    l0_pair = (
+        4 * ((wa >> 2) & 1) + 8 * (wa & 3) + 32 * (wa >> 3)
+        + jnp.where(w_in_step < 16, 0, 64)
+    )
+
+    def step_fn(i, carry):
+        states, rw, rank, acc = carry
+        # critical cycle: table gather -> ALU -> prefix -> pool select
+        if small_rank:
+            v1a = jnp.take_along_axis(tpa, rank, axis=1)
+            v1b = jnp.take_along_axis(tpb, rank, axis=1)
+        else:
+            v1a = gather256(tpa, tpa_hi, rank)
+            v1b = gather256(tpb, tpb_hi, rank)
+        v1 = pltpu.bitcast(jnp.where(is_b, v1b, v1a), jnp.uint32)
+        sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
+        freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
+        cum = v1 >> jnp.uint32(20)
+
+        slot = states & mask_slot
+        new = (states >> jnp.uint32(bits)) * freq + slot - cum
+        consume = new < consume_point
+
+        cb = consume.astype(jnp.bfloat16)
+        prefix = jnp.dot(cb, tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+        tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
+        tot_b = prefix[:, 127:128] + consume[:, 127:128].astype(jnp.int32)
+
+        # pool of the next 64 annotated words per half (off critical path:
+        # depends only on rw at step entry)
+        rel = (rw - base_w) + (lane & 63)
+        hsel = rel >> 6
+        within = (lane & 64) | (rel & 63)
+        pool = jnp.zeros((g_rows, L), jnp.int32)
+        for h in range(6):
+            cand = jnp.take_along_axis(window[h], within, axis=1)
+            pool = jnp.where(hsel == h, cand, pool)
+
+        sel = jnp.take_along_axis(pool, (lane & 64) | prefix, axis=1)
+        word = pltpu.bitcast(sel, jnp.uint32) & jnp.uint32(0xFFFF)
+        rank_p = sel >> 16
+        states = jnp.where(consume, (new << jnp.uint32(16)) | word, new)
+        rank_nc = rank_of(new & mask_slot)  # off critical path
+        rank = jnp.where(consume, rank_p, rank_nc)
+        rw = rw + jnp.where(is_b, tot_b, tot_a)
+        acc = acc | (sym << ((i & 3) * 8))
+        return states, rw, rank, acc
+
+    carry = (states_scr[:], rw_scr[:], rank_scr[:], jnp.zeros((g_rows, L), jnp.int32))
+    states, rw, rank, acc = jax.lax.fori_loop(0, 4, step_fn, carry)
+    states_scr[:] = states
+    rw_scr[:] = rw
+    rank_scr[:] = rank
+    shift_i = (lane >> 5) * 8
+    b0 = (jnp.take_along_axis(acc, l0_pair, axis=1) >> shift_i) & 0xFF
+    b1 = (jnp.take_along_axis(acc, l0_pair + 1, axis=1) >> shift_i) & 0xFF
+    b2 = (jnp.take_along_axis(acc, l0_pair + 2, axis=1) >> shift_i) & 0xFF
+    b3 = (jnp.take_along_axis(acc, l0_pair + 3, axis=1) >> shift_i) & 0xFF
+    out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+
+
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret"))
+def _decode_pairs_v2(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False):
+    row_spec = pl.BlockSpec((g_rows, 128), lambda g, c: (g, 0), memory_space=pltpu.VMEM)
+    ca = 2 * w_chunks
+    ann = pl.pallas_call(
+        functools.partial(_annotate_pairs, g_rows=g_rows, bits=bits),
+        grid=(n_groups, ca),
+        in_specs=[pl.BlockSpec((1, g_rows, 128), lambda g, c: (c // 2, g, 0), memory_space=pltpu.VMEM)]
+        + [row_spec] * 4,
+        out_specs=pl.BlockSpec((1, g_rows, 128), lambda g, c: (c, g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ca, n_groups * g_rows, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(stream, c0a, c0b, bma, bmb)
+    kernel = functools.partial(_mt64_pair_kernel_v2, g_rows=g_rows, bits=bits, small_rank=small_rank)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_groups, s4c),
+        in_specs=[row_spec] * 8
+        + [
+            pl.BlockSpec((ca, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM),
+            row_spec,
+        ],
+        out_specs=pl.BlockSpec((g_rows, 128), lambda g, s4: (g, s4), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_groups * g_rows, s4c * 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((g_rows, L), jnp.uint32),
+            pltpu.VMEM((g_rows, L), jnp.int32),
+            pltpu.VMEM((g_rows, L), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, ann, init)
