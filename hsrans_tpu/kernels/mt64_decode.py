@@ -156,7 +156,7 @@ def _mt64_kernel(
     # prefix of the consume mask in the reference's lane consumption order
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tri = ((tri_r < tri_c) & (tri_r < n) & (tri_c < n)).astype(jnp.bfloat16)
+    tri = ((tri_r < tri_c) & (tri_r < n) & (tri_c < n)).astype(jnp.int8)
 
     # Wire word w sources CONSECUTIVE rANS lanes: inv_idx2idx(4w+b) =
     # L0(w) + b with L0(w) = 4*((w>>2)&1) + 8*(w&3) + 32*(w>>3); the pack
@@ -223,8 +223,7 @@ def _mt64_kernel(
         new_states = jnp.where(active, new_states, states)
         consume = (new_states < consume_point) & active
 
-        cb = consume.astype(jnp.bfloat16)
-        prefix = jnp.dot(cb, tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+        prefix = jnp.dot(consume.astype(jnp.int8), tri, preferred_element_type=jnp.int32)
         total = prefix[:, n - 1 : n] + consume[:, n - 1 : n].astype(jnp.int32)
 
         widx = rw + prefix
@@ -645,7 +644,7 @@ def _mt64_pair_kernel(
     # strict-lower triangular per 64-lane half (no cross-half coupling)
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tri = ((tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))).astype(jnp.bfloat16)
+    tri_s8 = ((tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))).astype(jnp.int8)
 
     # wire u32 w of step i: lanes 32i+w; w<16 -> A word w, else B word w-16;
     # source lanes are consecutive: L0(w)+b (+64 for the B half)
@@ -681,8 +680,9 @@ def _mt64_pair_kernel(
         if _os.environ.get("HSRANS_NO_MATMUL") == "1":
             prefix = consume.astype(jnp.int32)  # WRONG OUTPUT: timing counterfactual
         elif _PREFIX_MXU:
-            cb = consume.astype(jnp.bfloat16)
-            prefix = jnp.dot(cb, tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+            # s8 x s8 -> s32 runs the MXU at twice the bf16 rate and skips
+            # both float casts (measured +5.5%, exact)
+            prefix = jnp.dot(consume.astype(jnp.int8), tri_s8, preferred_element_type=jnp.int32)
         else:
             prefix = _exclusive_prefix_halves(consume, g_rows, lane)
         tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
@@ -1019,7 +1019,7 @@ def _mt64_pair_kernel_v2(
 
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tri = ((tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))).astype(jnp.bfloat16)
+    tri = ((tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))).astype(jnp.int8)
 
     w_in_step = lane & 31
     wa = jnp.where(w_in_step < 16, w_in_step, w_in_step - 16)
@@ -1046,8 +1046,7 @@ def _mt64_pair_kernel_v2(
         new = (states >> jnp.uint32(bits)) * freq + slot - cum
         consume = new < consume_point
 
-        cb = consume.astype(jnp.bfloat16)
-        prefix = jnp.dot(cb, tri, preferred_element_type=jnp.float32).astype(jnp.int32)
+        prefix = jnp.dot(consume.astype(jnp.int8), tri, preferred_element_type=jnp.int32)
         tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
         tot_b = prefix[:, 127:128] + consume[:, 127:128].astype(jnp.int32)
 
