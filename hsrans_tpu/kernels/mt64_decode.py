@@ -473,7 +473,7 @@ def mt64_decode_tpu(
         idxs = sorted(idxs, key=lambda i: w_all[i])
         blk = [kernel_blocks[i] for i in idxs]
         wc = [w_all[i] for i in idxs]
-        if _USE_PAIR_KERNEL and bits <= 12 and n == 64 and mesh is None and len(idxs) >= 2:
+        if _USE_PAIR_KERNEL and n == 64 and mesh is None and len(idxs) >= 2:
             # two blocks per 128-lane row (the step is latency-bound on its
             # gather chain; sharing window/pack/matmul across a pair cuts
             # gathers per byte ~1.4x); odd leftover joins the single path
@@ -878,8 +878,28 @@ def decode_bucket_paired(
     bits: int,
     interpret: bool,
 ) -> np.ndarray | None:
-    """Decode an even-count small-rank bucket two blocks per row;
-    returns [nbp, size] bytes for the paired prefix of the bucket."""
+    """Decode an even-count bucket two blocks per row; returns
+    [nbp, size] bytes for the paired prefix of the bucket.  B<=12 buckets
+    use the packed-rank pair kernel; B=13..15 the flat-rank variant."""
+    if bits > 12:
+        built = build_pair_arrays_hb(kernel_blocks, w_counts, stream, bits)
+        if built is None:
+            return None
+        arrs, kw = built
+        size0 = kernel_blocks[0].size
+        slices = _decode_pairs_hb(*[jnp.asarray(a) for a in arrs], **kw, interpret=interpret)
+        npad = arrs[0].shape[1]
+        out = np.empty((npad * 2, size0), np.uint8)
+        for out_t, perm_t in slices:
+            o = np.asarray(out_t)
+            p = np.asarray(perm_t)
+            s4c_t = o.shape[1] // 128
+            u32 = o.reshape(npad, s4c_t, 4, 2, 16)
+            a = np.ascontiguousarray(u32[:, :, :, 0, :]).view(np.uint8).reshape(npad, s4c_t * 256)
+            b = np.ascontiguousarray(u32[:, :, :, 1, :]).view(np.uint8).reshape(npad, s4c_t * 256)
+            out[2 * p] = a
+            out[2 * p + 1] = b
+        return out
     built = build_pair_arrays(kernel_blocks, w_counts, stream, bits)
     if built is None:
         return None
@@ -1116,3 +1136,306 @@ def _decode_pairs_v2(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, ann, init)
+
+
+# ---------------------------------------------------------------------------
+# Paired-block kernel for B = 13..15: flat one-level rank tables.
+#
+# The generic kernel resolves rank(slot) at B > 12 by looping over 128-
+# bucket chunks of the c0/bm tables — at B=15 that is a sequential
+# 8-iteration fori of dependent gathers per step, the 3x-vs-B12 cost.
+# Here every lookup is ONE dependency level:
+#   * 64-slot buckets: rank = c0_64[k] + pop(bm_lo & mlo) + pop(bm_hi & mhi)
+#   * c0_64 delta-packed 4-per-u32 (base 9b | d1 7b @9 | d2 8b @16 | d3 8b @24):
+#     the c0 table shrinks 4x, to <= 128 entries at every depth -> 1 take
+#   * bm_lo/bm_hi chunk-selected (2^(B-11) independent takes total)
+#   * per-rank tables: fc = freq | cumul<<16 (both <= 2^15), and symbols
+#     packed 4-per-u32 (<= 64 entries -> 1 take)
+# Per-half operand stacks: [cp, bm_lo x nc, bm_hi x nc, fc_lo, fc_hi, sp4].
+
+def _hb_layout(bits: int) -> tuple[int, int]:
+    nc = max(1, (1 << bits) // 64 // 128)  # chunks of the 64-bucket masks
+    return nc, 1 + 2 * nc + 3
+
+
+def _hb_tables(rt: dict, bits: int) -> np.ndarray:
+    """[K, 128] i32 per-half stack from make_rank_tables output."""
+    nc, K = _hb_layout(bits)
+    n64 = (1 << bits) // 64
+    c0 = rt["c0"].astype(np.int64)  # 32-slot ranks
+    c064 = c0[0::2][:n64]
+    bmlo = rt["bm"].view(np.uint32)[0::2][:n64]
+    bmhi = rt["bm"].view(np.uint32)[1::2][:n64]
+    cp_n = n64 // 4
+    base = c064[0::4]
+    d1 = c064[1::4] - base
+    d2 = c064[2::4] - base
+    d3 = c064[3::4] - base
+    cp = (base | (d1 << 9) | (d2 << 16) | (d3 << 24)).astype(np.uint32)
+    t1 = rt["t1"].view(np.uint32)
+    t2 = rt["t2"].view(np.uint32)
+    sym = t1 & 0xFF
+    freq = t1 >> 8
+    fc = freq | (t2 << np.uint32(16))
+    sp4 = sym[0::4] | (sym[1::4] << 8) | (sym[2::4] << 16) | (sym[3::4] << 24)
+    out = np.zeros((K, 128), np.uint32)
+    out[0, :cp_n] = cp
+    for c in range(nc):
+        out[1 + c] = bmlo[c * 128 : (c + 1) * 128]
+        out[1 + nc + c] = bmhi[c * 128 : (c + 1) * 128]
+    out[1 + 2 * nc] = fc[:128]
+    out[2 + 2 * nc] = fc[128:]
+    out[3 + 2 * nc, :64] = sp4
+    return out.view(np.int32)
+
+
+def _mt64_pair_kernel_hb(
+    taba_ref,  # VMEM [K, G, 128] i32: block A's table stack
+    tabb_ref,  # VMEM [K, G, 128] i32: block B's
+    stream_ref,  # VMEM [C, G, 128] i32: interleaved half-chunk streams
+    init_ref,  # VMEM [G, 128] u32
+    rw_in_ref,  # VMEM [G, 128] i32
+    out_ref,  # out VMEM [G, 128] i32
+    states_out_ref,
+    rw_out_ref,
+    states_scr,
+    rw_scr,
+    *,
+    g_rows: int,
+    bits: int,
+    s4c_slice: int,
+):
+    s4 = pl.program_id(1)
+
+    @pl.when(s4 == 0)
+    def _():
+        states_scr[:] = init_ref[:]
+        rw_scr[:] = rw_in_ref[:]
+
+    mask_slot = jnp.uint32((1 << bits) - 1)
+    consume_point = jnp.uint32(DECODE_CONSUME_POINT_16)
+    w_chunks = stream_ref.shape[0]
+    nc, _K = _hb_layout(bits)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
+    is_b = lane >= 64
+
+    rwa = rw_scr[:, 0:1]
+    rwb = rw_scr[:, 64:65]
+    ca0 = (rwa >> 1) >> 6
+    cb0 = (rwb >> 1) >> 6
+    half_c0 = jnp.where(is_b, cb0, ca0)
+    cmin = jnp.minimum(jnp.min(ca0), jnp.min(cb0))
+    cmax = jnp.minimum(jnp.maximum(jnp.max(ca0), jnp.max(cb0)) + 3, w_chunks)
+
+    def wbody(c, win):
+        w0, w1, w2 = win
+        rowc = stream_ref[c]
+        w0 = jnp.where(half_c0 == c, rowc, w0)
+        w1 = jnp.where(half_c0 + 1 == c, rowc, w1)
+        w2 = jnp.where(half_c0 + 2 == c, rowc, w2)
+        return w0, w1, w2
+
+    zero_win = jnp.zeros((g_rows, 128), jnp.int32)
+    window = jax.lax.fori_loop(cmin, cmax, wbody, (zero_win, zero_win, zero_win))
+
+    cpa, cpb = taba_ref[0], tabb_ref[0]
+    bmloa = [pltpu.bitcast(taba_ref[1 + c], jnp.uint32) for c in range(nc)]
+    bmhia = [pltpu.bitcast(taba_ref[1 + nc + c], jnp.uint32) for c in range(nc)]
+    bmlob = [pltpu.bitcast(tabb_ref[1 + c], jnp.uint32) for c in range(nc)]
+    bmhib = [pltpu.bitcast(tabb_ref[1 + nc + c], jnp.uint32) for c in range(nc)]
+    fca_lo, fca_hi = taba_ref[1 + 2 * nc], taba_ref[2 + 2 * nc]
+    fcb_lo, fcb_hi = tabb_ref[1 + 2 * nc], tabb_ref[2 + 2 * nc]
+    spa, spb = taba_ref[3 + 2 * nc], tabb_ref[3 + 2 * nc]
+
+    tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tri_s8 = ((tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))).astype(jnp.int8)
+
+    w_in_step = lane & 31
+    wa = jnp.where(w_in_step < 16, w_in_step, w_in_step - 16)
+    l0_pair = (
+        4 * ((wa >> 2) & 1) + 8 * (wa & 3) + 32 * (wa >> 3)
+        + jnp.where(w_in_step < 16, 0, 64)
+    )
+
+    def step_fn(i, carry):
+        states, rw, acc = carry
+        slot = states & mask_slot
+        k6 = pltpu.bitcast(slot, jnp.int32) >> 6
+        j = k6 >> 2
+        cpv = pltpu.bitcast(
+            jnp.where(is_b, jnp.take_along_axis(cpb, j, axis=1), jnp.take_along_axis(cpa, j, axis=1)),
+            jnp.uint32,
+        )
+        sub = k6 & 3
+        base = cpv & jnp.uint32(0x1FF)
+        d = jnp.where(
+            sub == 1,
+            (cpv >> jnp.uint32(9)) & jnp.uint32(0x7F),
+            jnp.where(
+                sub == 2,
+                (cpv >> jnp.uint32(16)) & jnp.uint32(0xFF),
+                jnp.where(sub == 3, cpv >> jnp.uint32(24), jnp.uint32(0)),
+            ),
+        )
+        c0v = pltpu.bitcast(base + d, jnp.int32)
+
+        kw = k6 & 127
+        kwu = pltpu.bitcast(kw, jnp.uint32)
+        if nc == 1:
+            lov = jnp.where(is_b, jnp.take_along_axis(bmlob[0], kwu, axis=1), jnp.take_along_axis(bmloa[0], kwu, axis=1))
+            hiv = jnp.where(is_b, jnp.take_along_axis(bmhib[0], kwu, axis=1), jnp.take_along_axis(bmhia[0], kwu, axis=1))
+        else:
+            kc = k6 >> 7
+            lov = jnp.zeros((g_rows, L), jnp.uint32)
+            hiv = jnp.zeros((g_rows, L), jnp.uint32)
+            for c in range(nc):
+                sel = kc == c
+                lo_c = jnp.where(is_b, jnp.take_along_axis(bmlob[c], kwu, axis=1), jnp.take_along_axis(bmloa[c], kwu, axis=1))
+                hi_c = jnp.where(is_b, jnp.take_along_axis(bmhib[c], kwu, axis=1), jnp.take_along_axis(bmhia[c], kwu, axis=1))
+                lov = jnp.where(sel, lo_c, lov)
+                hiv = jnp.where(sel, hi_c, hiv)
+        s6 = slot & jnp.uint32(63)
+        in_lo = s6 < jnp.uint32(32)
+        mlo = jnp.where(in_lo, (jnp.uint32(2) << s6) - jnp.uint32(2), jnp.uint32(0xFFFFFFFE))
+        mhi = jnp.where(in_lo, jnp.uint32(0), (jnp.uint32(2) << (s6 & jnp.uint32(31))) - jnp.uint32(1))
+        rank = c0v + pltpu.bitcast(
+            jax.lax.population_count(lov & mlo) + jax.lax.population_count(hiv & mhi), jnp.int32
+        )
+
+        fcv = pltpu.bitcast(
+            jnp.where(is_b, gather256(fcb_lo, fcb_hi, rank), gather256(fca_lo, fca_hi, rank)),
+            jnp.uint32,
+        )
+        freq = fcv & jnp.uint32(0xFFFF)
+        cum = fcv >> jnp.uint32(16)
+        r4 = rank >> 2
+        s4v = pltpu.bitcast(
+            jnp.where(is_b, jnp.take_along_axis(spb, r4, axis=1), jnp.take_along_axis(spa, r4, axis=1)),
+            jnp.uint32,
+        )
+        sym = pltpu.bitcast((s4v >> pltpu.bitcast((rank & 3) << 3, jnp.uint32)) & jnp.uint32(0xFF), jnp.int32)
+
+        states = (states >> jnp.uint32(bits)) * freq + slot - cum
+        consume = states < consume_point
+
+        prefix = jnp.dot(consume.astype(jnp.int8), tri_s8, preferred_element_type=jnp.int32)
+        tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
+        tot_b = prefix[:, 127:128] + consume[:, 127:128].astype(jnp.int32)
+
+        widx = rw + prefix
+        rel = (widx >> 1) - (half_c0 << 6)
+        hsel = rel >> 6
+        within = (lane & 64) | (rel & 63)
+        w32 = jnp.zeros((g_rows, L), jnp.int32)
+        for h in range(3):
+            cand = jnp.take_along_axis(window[h], within, axis=1)
+            w32 = jnp.where(hsel == h, cand, w32)
+        word = (pltpu.bitcast(w32, jnp.uint32) >> pltpu.bitcast((widx & 1) << 4, jnp.uint32)) & jnp.uint32(0xFFFF)
+        states = jnp.where(consume, (states << jnp.uint32(16)) | word, states)
+        rw = rw + jnp.where(is_b, tot_b, tot_a)
+        acc = acc | (sym << (i * 8))
+        return states, rw, acc
+
+    carry = (states_scr[:], rw_scr[:], jnp.zeros((g_rows, L), jnp.int32))
+    states, rw, acc = jax.lax.fori_loop(0, 4, step_fn, carry)
+    states_scr[:] = states
+    rw_scr[:] = rw
+
+    @pl.when(s4 == s4c_slice - 1)
+    def _():
+        states_out_ref[:] = states
+        rw_out_ref[:] = rw
+
+    shift_i = (lane >> 5) * 8
+    b0 = (jnp.take_along_axis(acc, l0_pair, axis=1) >> shift_i) & 0xFF
+    b1 = (jnp.take_along_axis(acc, l0_pair + 1, axis=1) >> shift_i) & 0xFF
+    b2 = (jnp.take_along_axis(acc, l0_pair + 2, axis=1) >> shift_i) & 0xFF
+    b3 = (jnp.take_along_axis(acc, l0_pair + 3, axis=1) >> shift_i) & 0xFF
+    out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+
+
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "interpret"))
+def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, interpret=False):
+    """Paired decode for B=13..15 (no slicing: high-B buckets are few-row)."""
+    K, npad = taba.shape[0], taba.shape[1]
+    kernel = functools.partial(_mt64_pair_kernel_hb, g_rows=g_rows, bits=bits, s4c_slice=s4c)
+    row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((K, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM)
+    out, states, rw = pl.pallas_call(
+        kernel,
+        grid=(n_groups, s4c),
+        in_specs=[tab_spec, tab_spec]
+        + [
+            pl.BlockSpec((w_chunks, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((g_rows, 128), lambda g, s4: (g, s4), memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, s4c * 128), jnp.int32),
+            jax.ShapeDtypeStruct((npad, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((npad, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g_rows, L), jnp.uint32),
+            pltpu.VMEM((g_rows, L), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(taba, tabb, stream, init, jnp.zeros((npad, 128), jnp.int32))
+    return [(out, jnp.arange(npad, dtype=jnp.int32))]
+
+
+def build_pair_arrays_hb(
+    kernel_blocks: list,
+    w_counts: list[int],
+    stream: np.ndarray,
+    bits: int,
+) -> tuple[list[np.ndarray], dict] | None:
+    """Operands for the B>12 paired kernel: per-half [K, 128] table stacks
+    ([K, npad, 128], chunk-leading) + the same interleaved stream layout."""
+    nbp = len(kernel_blocks) // 2 * 2
+    if nbp < 2:
+        return None
+    pairs = nbp // 2
+    size0 = kernel_blocks[0].size
+    slots = [-(-w // 2) for w in w_counts[:nbp]]
+    w_chunks = max(2, -(-max(slots) // 64))
+    g_cap = _PAIR_TILE_BYTES // (w_chunks * 128 * 4)
+    g_cap = min(int(_os.environ.get("HSRANS_PAIR_GCAP", "256")), g_cap // 8 * 8)
+    if g_cap < 8:
+        return None
+    n_grp = -(-pairs // g_cap)
+    g_rows = max(8, -(-(-(-pairs // n_grp)) // 8) * 8)
+    npad = n_grp * g_rows
+
+    nc, K = _hb_layout(bits)
+    taba = np.zeros((K, npad, 128), np.int32)
+    tabb = np.zeros((K, npad, 128), np.int32)
+    init = np.full((npad, 128), DECODE_CONSUME_POINT_16, np.uint32)
+    stream_cm = np.zeros((w_chunks, npad, 128), np.uint32)
+    for i in range(nbp):
+        b = kernel_blocks[i]
+        hist = complete_hist(b.freq, bits)
+        if hist is None:
+            return None
+        rt = make_rank_tables(hist)
+        p, hi = divmod(i, 2)
+        (tabb if hi else taba)[:, p] = _hb_tables(rt, bits)
+        words = stream[b.word_start : b.word_start + w_counts[i]].astype(np.uint32)
+        if words.size & 1:
+            words = np.concatenate([words, np.zeros(1, np.uint32)])
+        padded = np.zeros(w_chunks * 64, np.uint32)
+        padded[: words.size // 2] = words[0::2] | (words[1::2] << np.uint32(16))
+        stream_cm[:, p, 64 * hi : 64 * hi + 64] = padded.reshape(w_chunks, 64)
+        init[p, 64 * hi : 64 * hi + N] = b.states
+
+    arrs = [taba, tabb, stream_cm.view(np.int32), init]
+    kw = dict(g_rows=g_rows, n_groups=n_grp, s4c=size0 // 256, w_chunks=w_chunks, bits=bits)
+    return arrs, kw
