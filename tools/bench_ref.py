@@ -1,0 +1,219 @@
+"""Same-box head-to-head: our native host tier vs the compiled reference.
+
+Builds the UNMODIFIED reference benchmark binary (`hsrans`, all of
+/root/reference/src), runs it and our native C++ tier on the same corpus
+on the same machine, and emits paired rows
+
+    {"family", "bits", "op", "ours_mib_s", "ref_mib_s", "ref_impl", ...}
+
+to BENCH_REF.json (and onto bench.py's metric list when invoked from
+there).  This is the reviewer-facing replacement for quoting the
+reference README's 7950X numbers: every comparison row is measured on
+this core, minutes apart (reference bench loop: main.cpp:743-899).
+
+Usage: python tools/bench_ref.py [corpus] [--bits 10,12,15] [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+REF_SRC = Path("/root/reference/src")
+BUILD = Path("/tmp/hsrans_ref_build")
+
+sys.path.insert(0, str(REPO))
+
+
+def build_reference() -> Path | None:
+    """Compile the full reference benchmark binary (cached)."""
+    exe = BUILD / "hsrans"
+    if exe.exists():
+        return exe
+    if not REF_SRC.exists():
+        return None
+    BUILD.mkdir(parents=True, exist_ok=True)
+    srcs = sorted(str(p) for p in REF_SRC.glob("*.cpp")) + [str(REF_SRC / "simd_platform.c")]
+    cmd = ["g++", "-O2", "-std=c++20", "-mxsave", *srcs, "-lpthread", "-o", str(exe)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=900)
+    except Exception:
+        return None
+    return exe if exe.exists() else None
+
+
+_ROW = re.compile(
+    r"^\s{2}(?P<name>\S.*?)\s*\|(?:\s*(?P<ratio>[\d.]+)\s*%)?\s*\|"
+    r"\s*[\d.]+\s*clk/byte\s*\|\s*[\d.]+\s*clk/byte\s*\([^)]*\)\s*\|"
+    r"\s*(?P<mib>[\d.]+)\s*MiB/s\s*\|"
+)
+
+
+def run_reference(exe: Path, corpus: Path, bits: int, families: str, runs: int = 2) -> dict:
+    """Run the reference binary; returns {codec: {"encode": (mib, ratio),
+    "decode": mib_best, "decode_mt": mib, "decode_impl": name}}."""
+    flags = [str(corpus), "--hist-min", str(bits), "--hist-max", str(bits),
+             "--runs", str(runs), "--no-sleep"]
+    if families == "32blk":
+        # 32blk names carry both "(raw)" and "32x32" (main.cpp:223-228), so
+        # they need --include-raw and must not be caught by --exclude-32
+        flags += ["--include-32blk", "--include-raw", "--exclude-16", "--exclude-64", "--exclude-block"]
+    else:
+        flags += ["--exclude-16", "--exclude-32"]
+        if "raw" in families:
+            flags.append("--include-raw")
+        if "mt" in families:
+            flags.append("--include-mt")
+    p = subprocess.run([str(exe), *flags], capture_output=True, text=True, timeout=1800)
+    out: dict[str, dict] = {}
+    codec = None
+    for raw_line in p.stdout.split("\n"):
+        # progress rewrites share lines via \r; the summary is the last segment
+        for line in raw_line.split("\r"):
+            if "| --------" in line:
+                codec = line.split("  ")[0].strip().rsplit(" ", 0)[0]
+                codec = re.sub(r"\s+\d+\s*\|.*$", "", line).strip()
+                out.setdefault(codec, {})
+                continue
+            m = _ROW.match(line)
+            if not m or codec is None:
+                continue
+            name = m.group("name").strip()
+            mib = float(m.group("mib"))
+            row = out[codec]
+            if name.startswith("enc"):
+                if mib > row.get("encode", (0, 0))[0]:
+                    row["encode"] = (mib, float(m.group("ratio") or 0))
+                    row["encode_impl"] = name
+            elif "multi threaded" in name:
+                row["decode_mt"] = max(mib, row.get("decode_mt", 0))
+            elif name.startswith("dec"):
+                if mib > row.get("decode", 0):
+                    row["decode"] = mib
+                    row["decode_impl"] = name
+    return out
+
+
+def _best(fn, *a, reps=3):
+    out, t = None, 9e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        t = min(t, time.perf_counter() - t0)
+    return out, t
+
+
+def run_ours(corpus: np.ndarray, bits: int, families: str) -> dict:
+    from hsrans_tpu.runtime import native
+
+    if native.load() is None:
+        return {}
+    mb = corpus.size / (1 << 20)
+    out: dict[str, dict] = {}
+
+    def pair(family, enc, dec, *dec_extra):
+        blob, te = _best(enc, corpus, bits, 64)
+        if blob is None:
+            return
+        _, td = _best(dec, blob, bits, 64, *dec_extra)
+        out[family] = {
+            "encode": (mb / te, len(blob) / corpus.size * 100),
+            "decode": mb / td,
+        }
+        return blob
+
+    if "raw" in families:
+        pair("raw_x64", native.raw_encode, native.raw_decode)
+    if "block" in families:
+        pair("block_x64", native.block_encode, native.block_decode)
+    if "mt" in families:
+        blob = pair("mt_x64", native.mt_encode, lambda b, bi, n: native.mt_decode(b, bi, n, 1))
+        if blob is not None:
+            _, tmt = _best(native.mt_decode, blob, bits, 64, 0)
+            out["mt_x64"]["decode_mt"] = mb / tmt
+    if "32blk" in families:
+        for wb in (16, 8):
+            blob, te = _best(native.blk32_encode, corpus, bits, wb)
+            if blob is None:
+                continue
+            _, td = _best(native.blk32_decode, blob, bits, wb)
+            out[f"blk32_{wb}w"] = {
+                "encode": (mb / te, len(blob) / corpus.size * 100),
+                "decode": mb / td,
+            }
+    return out
+
+
+REF_NAME = {
+    "raw_x64": "rANS32x64 16w (raw)",
+    "block_x64": "rANS32x64 16w (variable block size)",
+    "mt_x64": "rANS32x64 16w (independent blocks)",
+    "blk32_16w": "rANS32x32 32blk 16w (raw)",
+    "blk32_8w": "rANS32x32 32blk 8w (raw)",
+}
+
+
+def head_to_head(corpus_path: Path, bits_list=(10, 12, 15), families="raw block mt 32blk", runs=2) -> list[dict]:
+    exe = build_reference()
+    corpus = np.fromfile(corpus_path, np.uint8)
+    rows: list[dict] = []
+    for bits in bits_list:
+        ref = run_reference(exe, corpus_path, bits, families, runs) if exe else {}
+        if exe and "32blk" in families:
+            ref.update(run_reference(exe, corpus_path, bits, "32blk", runs))
+        ours = run_ours(corpus, bits, families)
+        for fam, o in ours.items():
+            r = ref.get(REF_NAME[fam], {})
+            for op in ("encode", "decode", "decode_mt"):
+                if op not in o:
+                    continue
+                ov = o[op][0] if op == "encode" else o[op]
+                rv = r.get(op)
+                rv = rv[0] if isinstance(rv, tuple) else rv
+                row = {
+                    "family": fam,
+                    "bits": bits,
+                    "op": op,
+                    "ours_mib_s": round(ov, 1),
+                    "ref_mib_s": round(rv, 1) if rv else None,
+                    "vs_ref": round(ov / rv, 3) if rv else None,
+                }
+                if op == "encode":
+                    row["ours_ratio_pct"] = round(o[op][1], 2)
+                    if "encode" in r:
+                        row["ref_ratio_pct"] = round(r["encode"][1], 2)
+                if op == "decode" and "decode_impl" in r:
+                    row["ref_impl"] = r["decode_impl"]
+                rows.append(row)
+    return rows
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    corpus = Path(args[0]) if args else REPO / "tests" / "corpus" / "corpus.bin"
+    bits_list = (12,) if "--quick" in sys.argv else (10, 12, 15)
+    for a in sys.argv[1:]:
+        if a.startswith("--bits"):
+            bits_list = tuple(int(b) for b in a.split("=", 1)[1].split(","))
+    rows = head_to_head(corpus, bits_list)
+    with open(REPO / "BENCH_REF.json", "w") as f:
+        json.dump({"corpus": str(corpus), "host": os.uname().nodename, "rows": rows}, f, indent=1)
+    hdr = f"{'family':<10} {'B':>2} {'op':<9} {'ours MiB/s':>11} {'ref MiB/s':>10} {'vs ref':>7}"
+    print(hdr)
+    for r in rows:
+        print(
+            f"{r['family']:<10} {r['bits']:>2} {r['op']:<9} {r['ours_mib_s']:>11} "
+            f"{r['ref_mib_s'] if r['ref_mib_s'] else '-':>10} {r['vs_ref'] if r['vs_ref'] else '-':>7}"
+        )
+
+
+if __name__ == "__main__":
+    main()
