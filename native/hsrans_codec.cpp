@@ -28,6 +28,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -118,11 +119,14 @@ void build_enc_table(const uint16_t freq[256], uint32_t bits, EncTable *t) {
 
 struct DecTable {
   // B<=12: one packed u32 per slot (sym | cumul<<8 | freq<<20).
-  // B>=13: sym per slot + freq/cumul by symbol (fields fit u16 there).
+  // B>=13: sym per slot + freq/cumul by symbol (fields fit u16 there);
+  // fcsym = freq | cumul<<16 per symbol feeds the two-gather AVX-512 path
+  // (the hist_dec2_t shape, hist.h:32-37, as one packed word).
   std::vector<uint32_t> pack;
   std::vector<uint8_t> sym;
   uint32_t freq[256];
   uint32_t cumul[256];
+  uint32_t fcsym[256];
   uint32_t bits;
   bool packed;
 };
@@ -145,10 +149,11 @@ bool build_dec_table(const uint16_t freq[256], uint32_t bits, DecTable *t) {
       c += freq[s];
     }
   } else {
-    t->sym.resize(total);
+    t->sym.resize(total + 4);  // +4: the slot byte-gather reads 32 bits
     for (uint32_t s = 0; s < 256; s++) {
       t->freq[s] = freq[s];
       t->cumul[s] = c;
+      t->fcsym[s] = freq[s] | (c << 16);
       memset(t->sym.data() + c, (int)s, freq[s]);
       c += freq[s];
     }
@@ -225,6 +230,10 @@ template <uint32_t N>
 int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stream,
                              uint64_t nwords, uint64_t r, uint8_t *out,
                              uint64_t out_pos, uint64_t num_groups);
+void blk32_decode_avx512(const DecTable *t, const uint16_t *lanes_buf,
+                         const uint8_t *lanes_buf8, const uint32_t *lane_off32,
+                         uint32_t *r_io, uint32_t *states, uint8_t *out,
+                         uint64_t full_groups, uint32_t word_bits);
 bool avx512_ok();
 #endif
 
@@ -240,7 +249,7 @@ int64_t decode_span_t(Coder *co, const DecTable *t, const uint16_t *stream,
   const uint32_t bits = t->bits;
   uint32_t *st = co->states;
 #if defined(__x86_64__)
-  if (t->packed && num_groups >= 4 && avx512_ok()) {
+  if (num_groups >= 4 && avx512_ok()) {
     const int64_t nr = decode_groups_avx512<N>(co, t, stream, nwords, r, out, out_pos, num_groups);
     if (nr < 0) return -1;
     r = (uint64_t)nr;
@@ -858,7 +867,6 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
   starts[N32] = size;
   if (starts[N32 - 1] > size) return -1;
   const uint64_t slack = 2 * ((length + N32 - 1) / N32) + 8;
-  std::vector<uint16_t> lanes_buf;
   uint64_t lane_len[N32], lane_off[N32], r[N32];
   uint64_t tot = 0;
   for (uint32_t j = 0; j < N32; j++) {
@@ -867,13 +875,22 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
     tot += lane_len[j] + slack;
     r[j] = 0;
   }
-  lanes_buf.assign(tot, 0);
-  for (uint32_t j = 0; j < N32; j++) {
-    if (word_bits == 16)
-      memcpy(lanes_buf.data() + lane_off[j], blob + starts[j], lane_len[j] * 2);
-    else
-      for (uint64_t k = 0; k < lane_len[j]; k++)
-        lanes_buf[lane_off[j] + k] = blob[starts[j] + k];
+  // Per-lane streams copied to slack-padded regions so renorm reads past a
+  // lane's end stay in-bounds on malformed input.  Deliberately left
+  // UNINITIALIZED outside the copied payload (a zero-fill pass measured
+  // ~10% of decode); slack reads yield garbage bytes, never UB.  16w keeps
+  // u16 words; 8w keeps a tight byte mirror (the vector path's scale-1
+  // gather needs 4 real bytes per fetch).
+  std::unique_ptr<uint16_t[]> lanes16;
+  std::unique_ptr<uint8_t[]> lanes8;
+  if (word_bits == 16) {
+    lanes16.reset(new uint16_t[tot + 2]);
+    for (uint32_t j = 0; j < N32; j++)
+      memcpy(lanes16.get() + lane_off[j], blob + starts[j], lane_len[j] * 2);
+  } else {
+    lanes8.reset(new uint8_t[tot + 4]);
+    for (uint32_t j = 0; j < N32; j++)
+      memcpy(lanes8.get() + lane_off[j], blob + starts[j], lane_len[j]);
   }
 
   const uint32_t mask = (1u << bits) - 1;
@@ -885,7 +902,20 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
   const uint64_t out_len_states = length + 1 > N32 ? length - N32 + 1 : 0;
   const uint64_t full = out_len_states ? (out_len_states + N32 - 1) / N32 : 0;
 
-  for (uint64_t g = 0; g < total; g++) {
+  uint64_t g0 = 0;
+#if defined(__x86_64__)
+  if (avx512_ok() && full >= 8 && tot < 0xFFFF0000ull) {
+    uint32_t r32[N32], off32[N32];
+    for (uint32_t j = 0; j < N32; j++) {
+      r32[j] = (uint32_t)r[j];
+      off32[j] = (uint32_t)lane_off[j];
+    }
+    blk32_decode_avx512(&t, lanes16.get(), lanes8.get(), off32, r32, st, out, full, word_bits);
+    for (uint32_t j = 0; j < N32; j++) r[j] = r32[j];
+    g0 = full;
+  }
+#endif
+  for (uint64_t g = g0; g < total; g++) {
     const uint64_t base = g * N32;
     for (uint32_t j = 0; j < N32; j++) {
       const uint64_t pos = base + perm.p[j];
@@ -904,7 +934,8 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
       s = (s >> bits) * f + slot - c;
       for (int e = 0; e < max_consumes && s < consume; e++) {
         if (r[j] >= lane_len[j] + slack) return -1;
-        s = (s << shift) | lanes_buf[lane_off[j] + r[j]++];
+        const uint64_t at = lane_off[j] + r[j]++;
+        s = (s << shift) | (word_bits == 16 ? lanes16[at] : (uint16_t)lanes8[at]);
       }
       st[j] = s;
     }
@@ -943,9 +974,14 @@ int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *strea
   const __m512i inv_idx = _mm512_loadu_si512(inv);
   const __m512i slot_mask = _mm512_set1_epi32((1 << t->bits) - 1);
   const __m512i lo12 = _mm512_set1_epi32(0xFFF);
+  const __m512i lo16 = _mm512_set1_epi32(0xFFFF);
+  const __m512i lo8 = _mm512_set1_epi32(0xFF);
   const __m512i one = _mm512_set1_epi32(1);
   const __m512i consume_lim = _mm512_set1_epi32(kConsumePoint);
-  const int *pk = (const int *)t->pack.data();
+  const bool packed = t->packed;
+  const int *pk = packed ? (const int *)t->pack.data() : nullptr;
+  const int *sym_tab = packed ? nullptr : (const int *)t->sym.data();
+  const int *fc_tab = packed ? nullptr : (const int *)t->fcsym;
   const uint32_t bits = t->bits;
 
   __m512i st[NV];
@@ -960,13 +996,23 @@ int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *strea
     // phase 1: the sub-vectors' gathers are independent (slots come from
     // last group's states) — issue them all before the renorm chain so
     // their latencies overlap instead of serializing behind r
-    __m512i slot[NV], pck[NV];
+    __m512i slot[NV], pck[NV], symv[NV];
     for (int v = 0; v < NV; v++) slot[v] = _mm512_and_si512(st[v], slot_mask);
-    for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(slot[v], pk, 4);
+    if (packed) {
+      for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(slot[v], pk, 4);
+    } else {
+      // B>=13: cumulInv byte gather then freq|cumul<<16 by symbol (the
+      // reference's hist_dec2 varA scheme, block_rANS32x64_16w_decode.cpp:137)
+      for (int v = 0; v < NV; v++)
+        symv[v] = _mm512_and_si512(_mm512_i32gather_epi32(slot[v], sym_tab, 1), lo8);
+      for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(symv[v], fc_tab, 4);
+    }
     for (int v = 0; v < NV; v++) {
-      const __m512i sym = _mm512_and_si512(pck[v], _mm512_set1_epi32(0xFF));
-      const __m512i cum = _mm512_and_si512(_mm512_srli_epi32(pck[v], 8), lo12);
-      const __m512i freq = _mm512_add_epi32(_mm512_srli_epi32(pck[v], 20), one);
+      const __m512i sym = packed ? _mm512_and_si512(pck[v], _mm512_set1_epi32(0xFF)) : symv[v];
+      const __m512i cum = packed ? _mm512_and_si512(_mm512_srli_epi32(pck[v], 8), lo12)
+                                 : _mm512_srli_epi32(pck[v], 16);
+      const __m512i freq = packed ? _mm512_add_epi32(_mm512_srli_epi32(pck[v], 20), one)
+                                  : _mm512_and_si512(pck[v], lo16);
       __m512i s = _mm512_add_epi32(
           _mm512_sub_epi32(slot[v], cum),
           _mm512_mullo_epi32(_mm512_srli_epi32(st[v], bits), freq));
@@ -996,6 +1042,120 @@ bool avx512_ok() {
   static const bool ok = __builtin_cpu_supports("avx512f") && __builtin_cpu_supports("avx512bw") &&
                          __builtin_cpu_supports("avx512vbmi") && __builtin_cpu_supports("avx512vl");
   return ok;
+}
+
+// 32blk: 32 states with PRIVATE streams (no cross-lane renorm coupling,
+// rans32x32_32blk_16w.cpp:222-231) — the easy vector case: the renorm is
+// one gather by per-lane cursor instead of an expand from a shared head.
+// The reference ships AVX2 variants; this is the AVX-512 dual with the
+// same two-gather dec2 scheme at B>=13 and the packed table at B<=12.
+template <bool kPacked, bool kW16>
+__attribute__((target("avx2,avx512f,avx512bw,avx512vbmi,avx512vl")))
+void blk32_decode_avx512_t(const DecTable *t, const uint16_t *lanes_buf,
+                           const uint8_t *lanes_buf8, const uint32_t *lane_off32,
+                           uint32_t *r_io, uint32_t *states, uint8_t *out,
+                           uint64_t full_groups) {
+  // Four independent 8-lane (ymm) chains: the per-group critical path is
+  // state -> slot -> table gather -> renorm -> state, and ymm vpgatherdd
+  // has roughly half the latency of the 16-lane form, which dominates
+  // that chain.  The idx2idx(32) interleave order was chosen by the
+  // reference so that packus(packus(s0,s1),packus(s2,s3)) lands bytes in
+  // wire order directly (rANS32x32_16w.cpp:1182) — no final permute.
+  // Compile-time table layout / word width: a runtime branch per gather
+  // measured 2.5x slower than this specialization.
+  constexpr uint32_t N32 = 32;
+  const __m256i slot_mask = _mm256_set1_epi32((1 << t->bits) - 1);
+  const __m256i lo12 = _mm256_set1_epi32(0xFFF);
+  const __m256i lo16 = _mm256_set1_epi32(0xFFFF);
+  const __m256i lo8 = _mm256_set1_epi32(0xFF);
+  const __m256i one = _mm256_set1_epi32(1);
+  const int *pk = kPacked ? (const int *)t->pack.data() : nullptr;
+  const int *sym_tab = kPacked ? nullptr : (const int *)t->sym.data();
+  const int *fc_tab = kPacked ? nullptr : (const int *)t->fcsym;
+  const uint32_t bits = t->bits;
+  const __m256i consume_lim = _mm256_set1_epi32(kW16 ? (int)kConsumePoint : (1 << 23));
+  const __m256i wmask = kW16 ? lo16 : lo8;
+  constexpr uint32_t wshift = kW16 ? 16 : 8;
+  constexpr int max_consumes = kW16 ? 1 : 2;
+
+  __m256i st[4], rr[4], off[4];
+  for (int v = 0; v < 4; v++) {
+    st[v] = _mm256_loadu_si256((const __m256i *)(states + 8 * v));
+    rr[v] = _mm256_loadu_si256((const __m256i *)(r_io + 8 * v));
+    off[v] = _mm256_loadu_si256((const __m256i *)(lane_off32 + 8 * v));
+  }
+
+  // Two groups per iteration share ONE u32 word fetch per lane (the
+  // reference's varC2 idiom, rans32x32_32blk_16w.cpp:1962+): 16w scale-2
+  // returns the next TWO words; 8w reads four bytes from the tight byte
+  // mirror — the exact double-consume budget of two steps.
+  for (uint64_t g = 0; g < full_groups; g += 2) {
+    const int subs = (g + 2 <= full_groups) ? 2 : 1;
+    __m256i wrd[4];
+    for (int v = 0; v < 4; v++) {
+      const __m256i idx = _mm256_add_epi32(off[v], rr[v]);
+      wrd[v] = kW16 ? _mm256_i32gather_epi32((const int *)lanes_buf, idx, 2)
+                    : _mm256_i32gather_epi32((const int *)lanes_buf8, idx, 1);
+    }
+    for (int sub = 0; sub < subs; sub++) {
+      __m256i slot[4], pck[4], symv[4];
+      for (int v = 0; v < 4; v++) slot[v] = _mm256_and_si256(st[v], slot_mask);
+      if (kPacked) {
+        for (int v = 0; v < 4; v++) pck[v] = _mm256_i32gather_epi32(pk, slot[v], 4);
+      } else {
+        for (int v = 0; v < 4; v++)
+          symv[v] = _mm256_and_si256(_mm256_i32gather_epi32(sym_tab, slot[v], 1), lo8);
+        for (int v = 0; v < 4; v++) pck[v] = _mm256_i32gather_epi32(fc_tab, symv[v], 4);
+      }
+      __m256i symq[4];
+      for (int v = 0; v < 4; v++) {
+        const __m256i sym = kPacked ? _mm256_and_si256(pck[v], lo8) : symv[v];
+        const __m256i cum = kPacked ? _mm256_and_si256(_mm256_srli_epi32(pck[v], 8), lo12)
+                                    : _mm256_srli_epi32(pck[v], 16);
+        const __m256i freq = kPacked ? _mm256_add_epi32(_mm256_srli_epi32(pck[v], 20), one)
+                                     : _mm256_and_si256(pck[v], lo16);
+        __m256i s = _mm256_add_epi32(
+            _mm256_sub_epi32(slot[v], cum),
+            _mm256_mullo_epi32(_mm256_srli_epi32(st[v], bits), freq));
+        for (int e = 0; e < max_consumes; e++) {
+          const __mmask8 k = _mm256_cmplt_epu32_mask(s, consume_lim);
+          s = _mm256_mask_mov_epi32(
+              s, k,
+              _mm256_or_si256(_mm256_slli_epi32(s, wshift),
+                              _mm256_and_si256(wrd[v], wmask)));
+          wrd[v] = _mm256_mask_srli_epi32(wrd[v], k, wrd[v], wshift);
+          rr[v] = _mm256_mask_add_epi32(rr[v], k, rr[v], one);
+        }
+        st[v] = s;
+        symq[v] = sym;
+      }
+      const __m256i p01 = _mm256_packus_epi32(symq[0], symq[1]);
+      const __m256i p23 = _mm256_packus_epi32(symq[2], symq[3]);
+      const __m256i wire = _mm256_packus_epi16(p01, p23);
+      _mm256_storeu_si256((__m256i *)(out + (g + sub) * N32), wire);
+    }
+  }
+  for (int v = 0; v < 4; v++) {
+    _mm256_storeu_si256((__m256i *)(states + 8 * v), st[v]);
+    _mm256_storeu_si256((__m256i *)(r_io + 8 * v), rr[v]);
+  }
+}
+
+void blk32_decode_avx512(const DecTable *t, const uint16_t *lanes_buf,
+                         const uint8_t *lanes_buf8, const uint32_t *lane_off32,
+                         uint32_t *r_io, uint32_t *states, uint8_t *out,
+                         uint64_t full_groups, uint32_t word_bits) {
+  if (t->packed) {
+    if (word_bits == 16)
+      blk32_decode_avx512_t<true, true>(t, lanes_buf, lanes_buf8, lane_off32, r_io, states, out, full_groups);
+    else
+      blk32_decode_avx512_t<true, false>(t, lanes_buf, lanes_buf8, lane_off32, r_io, states, out, full_groups);
+  } else {
+    if (word_bits == 16)
+      blk32_decode_avx512_t<false, true>(t, lanes_buf, lanes_buf8, lane_off32, r_io, states, out, full_groups);
+    else
+      blk32_decode_avx512_t<false, false>(t, lanes_buf, lanes_buf8, lane_off32, r_io, states, out, full_groups);
+  }
 }
 
 }  // namespace
