@@ -582,6 +582,7 @@ def _mt64_pair_kernel(
     tpb_ref,  # VMEM [G, 128] i32: (B, ranks 0..127)
     tpa_hi_ref,  # VMEM [G, 128] i32: ranks 128..255 (zeros when small_rank)
     tpb_hi_ref,
+    tri_ref,  # VMEM [128, 128] i8: per-half strict-lower triangular
     stream_ref,  # VMEM [C, G, 128] i32: interleaved half-chunk streams
     init_ref,  # VMEM [G, 128] u32: A's states in lanes 0..63, B's in 64..127
     rw_in_ref,  # VMEM [G, 128] i32: per-half word cursors on slice entry
@@ -612,27 +613,43 @@ def _mt64_pair_kernel(
 
     # 3 half-chunk window per half: one invocation consumes <= 4 steps x
     # 64 words = 128 slots per half; base-aligned to 64 slots -> max
-    # rel = 63 + 128 < 192.  The scan covers both halves' chunk ranges.
+    # rel = 63 + 128 < 192.  The scan runs PER ROW-SUBGROUP: its iteration
+    # count is the subgroup's cursor spread, and rows are presorted by
+    # stream length, so 4 subgroup scans over ~1/4 the spread each cost
+    # ~1/4 of one global scan (the spread is the dominant term late in a
+    # bucket as per-row compressed lengths drift apart).
     rwa = rw_scr[:, 0:1]
     rwb = rw_scr[:, 64:65]
     ca0 = (rwa >> 1) >> 6
     cb0 = (rwb >> 1) >> 6
     half_c0 = jnp.where(is_b, cb0, ca0)  # [G, 128]
-    cmin = jnp.minimum(jnp.min(ca0), jnp.min(cb0))
-    cmax = jnp.minimum(jnp.maximum(jnp.max(ca0), jnp.max(cb0)) + 3, w_chunks)
-    if _os.environ.get("HSRANS_WINDOW_TIMING_HACK") == "1":
-        cmax = cmin + 3  # WRONG OUTPUT: counterfactual timing of a spread-free scan
+    # subgroup scans measured a wash at <=128 rows (concat + loop setup eat
+    # the spread savings); one scan per group below that, split above
+    bounds = list(range(0, g_rows, 128)) + [g_rows] if g_rows > 128 else [0, g_rows]
+    win_parts = []
+    for si in range(len(bounds) - 1):
+        sl = slice(bounds[si], bounds[si + 1])
+        ca_s, cb_s = ca0[sl], cb0[sl]
+        half_s = half_c0[sl]
+        cmin = jnp.minimum(jnp.min(ca_s), jnp.min(cb_s))
+        cmax = jnp.minimum(jnp.maximum(jnp.max(ca_s), jnp.max(cb_s)) + 3, w_chunks)
+        if _os.environ.get("HSRANS_WINDOW_TIMING_HACK") == "1":
+            cmax = cmin + 3  # WRONG OUTPUT: counterfactual spread-free scan
 
-    def wbody(c, win):
-        w0, w1, w2 = win
-        rowc = stream_ref[c]
-        w0 = jnp.where(half_c0 == c, rowc, w0)
-        w1 = jnp.where(half_c0 + 1 == c, rowc, w1)
-        w2 = jnp.where(half_c0 + 2 == c, rowc, w2)
-        return w0, w1, w2
+        def wbody(c, win, half_s=half_s, sl=sl):
+            w0, w1, w2 = win
+            rowc = stream_ref[c, sl]
+            w0 = jnp.where(half_s == c, rowc, w0)
+            w1 = jnp.where(half_s + 1 == c, rowc, w1)
+            w2 = jnp.where(half_s + 2 == c, rowc, w2)
+            return w0, w1, w2
 
-    zero_win = jnp.zeros((g_rows, 128), jnp.int32)
-    window = jax.lax.fori_loop(cmin, cmax, wbody, (zero_win, zero_win, zero_win))
+        zero_s = jnp.zeros((sl.stop - sl.start, 128), jnp.int32)
+        win_parts.append(jax.lax.fori_loop(cmin, cmax, wbody, (zero_s, zero_s, zero_s)))
+    if len(win_parts) == 1:
+        window = win_parts[0]
+    else:
+        window = tuple(jnp.concatenate([p[h] for p in win_parts], axis=0) for h in range(3))
 
     c0a, c0b = c0a_ref[:], c0b_ref[:]
     bma = pltpu.bitcast(bma_ref[:], jnp.uint32)
@@ -641,10 +658,9 @@ def _mt64_pair_kernel(
     if not small_rank:
         tpa_hi, tpb_hi = tpa_hi_ref[:], tpb_hi_ref[:]
 
-    # strict-lower triangular per 64-lane half (no cross-half coupling)
-    tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tri_s8 = ((tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))).astype(jnp.int8)
+    # strict-lower triangular per 64-lane half, passed as an operand
+    # (rebuilding it costs ~128 vreg-ops per invocation)
+    tri_s8 = tri_ref[:]
 
     # wire u32 w of step i: lanes 32i+w; w<16 -> A word w, else B word w-16;
     # source lanes are consecutive: L0(w)+b (+64 for the B half)
@@ -725,6 +741,18 @@ def _mt64_pair_kernel(
     out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
+_TRI_PAIR = None
+
+
+def _tri_pair_operand():
+    global _TRI_PAIR
+    if _TRI_PAIR is None:
+        r = np.arange(L)[:, None]
+        c = np.arange(L)[None, :]
+        _TRI_PAIR = ((r < c) & ((r >= 64) == (c >= 64))).astype(np.int8)
+    return _TRI_PAIR
+
+
 def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw, *, g_rows, n_groups, s4c_slice, w_chunks, bits, small_rank, interpret):
     """One time slice of the paired decode: s4c_slice invocations per group,
     states/cursors in and out (so the driver can regroup rows between
@@ -739,6 +767,7 @@ def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, stat
         grid=(n_groups, s4c_slice),
         in_specs=[row_spec] * 8
         + [
+            pl.BlockSpec((L, 128), lambda g, s4: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w_chunks, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM),
             row_spec,
             row_spec,
@@ -759,7 +788,7 @@ def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, stat
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw)
+    )(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, jnp.asarray(_tri_pair_operand()), stream, states, rw)
 
 
 # Invocations per time slice.  Cursor-regroup slicing (argsort between
@@ -823,7 +852,11 @@ def build_pair_arrays(
     # can run much deeper than the generic tile budget allows (the gate is
     # VMEM capacity, not scan cost)
     g_cap = _PAIR_TILE_BYTES // (w_chunks * 128 * 4)
-    g_cap = min(int(_os.environ.get("HSRANS_PAIR_GCAP", "256")), g_cap // 8 * 8)
+    # measured depth optimum: 256 rows for short streams (4 KiB blocks),
+    # ~128 for long ones (64 KiB planner blocks), where the window scan's
+    # cursor-spread term grows with stream length
+    default_cap = 256 if w_chunks <= 64 else 128
+    g_cap = min(int(_os.environ.get("HSRANS_PAIR_GCAP", str(default_cap))), g_cap // 8 * 8)
     if g_cap < 8:
         return None
     # split pairs EVENLY over the minimum group count: padding rows decode
