@@ -238,9 +238,11 @@ def bench_mt(corpus_big):
     _mt_bucket_slope(blob15, 15, "mt_planner_decode_B15", 7471.0)
 
 
-def bench_mt_device_encode(corpus):
-    """Device mt encode kernel (phase A + stream concat) on 4 KiB blocks,
-    chained on-device; the wire mux stays on the host as in the reference."""
+def bench_mt_device_encode(corpus, bs, nb, label):
+    """Device mt encode (phase A + segmented stream concat) chained
+    on-device; the wire mux stays on the host as in the reference.
+    bs=4096 mirrors round 1; bs=65536 is the greedy planner's text block
+    size (mt_device_encode_planner)."""
     import jax
     import jax.numpy as jnp
 
@@ -248,7 +250,7 @@ def bench_mt_device_encode(corpus):
     from hsrans_tpu.kernels.tpx_encode import divisor_le, make_enc_tables_batch
     from hsrans_tpu.runtime import native as nat
 
-    bs, nb, g_rows = 4096, 512, 256
+    g_rows = 256
     arr = np.ascontiguousarray(corpus[: nb * bs])
     h = nat.hist_blocks(arr, bs, BITS, nb)
     if h is None:
@@ -259,25 +261,43 @@ def bench_mt_device_encode(corpus):
     mg = np.ascontiguousarray(et["m"])
     zeros = np.zeros((nb, 128), np.int32)
     tabs = [fc[:, :128], fc[:, 128:], mg[:, :128], mg[:, 128:], zeros, zeros]
-    seg_steps = bs // 64
-    view32 = arr.view("<i4").reshape(nb, seg_steps // 8 * 128)
+    steps = bs // 64
+    seg_steps = min(steps, 128)
+    n_segs = steps // seg_steps
+    view32 = arr.view("<i4").reshape(nb, n_segs, seg_steps // 8 * 128)
     init0 = jnp.full((nb, 128), 1 << 15, jnp.uint32)
     dev_tabs = [jnp.asarray(np.ascontiguousarray(t)) for t in tabs]
-    packed = jnp.asarray(view32)
-    wcap = seg_steps * 64 // 2 // 128 * 128
+    packed = [jnp.asarray(np.ascontiguousarray(view32[:, s])) for s in range(n_segs)]
     rc = divisor_le(g_rows, max(8, (4 << 20) // (seg_steps * 128 * 4)))
-    wq = jnp.asarray(np.array([[wcap // 128]], np.int32))
+    c16 = min(16, seg_steps)
+    segs16 = seg_steps // c16
     kw_a = dict(g_rows=g_rows, n_groups=nb // g_rows, s8c=seg_steps // 8, bits=BITS)
-    kw_b = dict(rows=nb, rc=rc, steps=seg_steps, wcap=wcap, n_tiles=1)
+    kw_b = dict(rows=nb, rc=rc, steps=c16, wcap=c16 * 32, n_tiles=segs16)
+
+    # per-segment concat chunk counts are data-dependent; fix them from one
+    # untimed pass so the timed chain keeps static shapes
+    wqs = []
+    st = init0
+    for s in range(n_segs - 1, -1, -1):
+        win, cnta, cntb, st = KE._encode_blocks(*dev_tabs, st, packed[s], **kw_a)
+        cnt = np.asarray(KE._unpack_counts_mt(cnta, cntb))[:, :seg_steps]
+        seg_words = cnt.reshape(nb, segs16, c16).sum(axis=2)
+        wqs.append(jnp.asarray(np.maximum(1, -(-(-(-seg_words.max(axis=0)) // 2) // 128))[:, None].astype(np.int32)))
+    wqs.reverse()
 
     def one_pass(carry, _):
-        win, cnta, cntb, states = KE._encode_blocks(*dev_tabs, init0 ^ carry, packed, **kw_a)
-        cnt = KE._unpack_counts_mt(cnta, cntb)
-        stream = KE._concat_mega(
-            wq, win.reshape(1, seg_steps, nb, 128), cnt.reshape(1, nb, 128), **kw_b
-        )
-        delta = jax.lax.bitcast_convert_type(stream[0, :, :128], jnp.uint32) & jnp.uint32(1)
-        return carry ^ delta, states[0, 0]
+        st = init0 ^ carry
+        delta = carry
+        for s in range(n_segs - 1, -1, -1):
+            win, cnta, cntb, st = KE._encode_blocks(*dev_tabs, st, packed[s], **kw_a)
+            cnt = KE._unpack_counts_mt(cnta, cntb)
+            cnt_seg = jnp.pad(
+                jnp.transpose(cnt[:, :seg_steps].reshape(nb, segs16, c16), (1, 0, 2)),
+                ((0, 0), (0, 0), (0, 128 - c16)),
+            )
+            stream = KE._concat_mega(wqs[s], win.reshape(segs16, c16, nb, 128), cnt_seg, **kw_b)
+            delta = delta ^ (jax.lax.bitcast_convert_type(stream[0, :, :128], jnp.uint32) & jnp.uint32(1))
+        return delta, st[0, 0]
 
     def many(n):
         @jax.jit
@@ -288,7 +308,7 @@ def bench_mt_device_encode(corpus):
         return fn
 
     per = slope(many, 1, 9)
-    record("mt_device_encode_4k", nb * bs / (1 << 20) / per, "MiB/s", BASELINE_ENC)
+    record(label, nb * bs / (1 << 20) / per, "MiB/s", BASELINE_ENC)
 
 
 def bench_native(corpus):
@@ -336,7 +356,8 @@ def main() -> None:
     steps = [
         lambda: bench_tpx_encode(text),
         lambda: bench_mt(corpus_big),
-        lambda: bench_mt_device_encode(corpus_big),
+        lambda: bench_mt_device_encode(corpus_big, 4096, 512, "mt_device_encode_4k"),
+        lambda: bench_mt_device_encode(corpus_big, 65536, 512, "mt_device_encode_planner"),
         lambda: bench_tpx_decode(text[: 16 << 20], 13, "tpx_decode_B13", BASELINE_DEC),
         lambda: bench_tpx_decode(text[: 16 << 20], 15, "tpx_decode_B15", BASELINE_DEC),
         lambda: bench_native(corpus_big[: 12 << 20]),

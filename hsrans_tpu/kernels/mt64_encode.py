@@ -237,28 +237,41 @@ def _encode_size_bucket(
             interpret=interpret,
         )
         cnt_steps = _unpack_counts_mt(cnta, cntb)  # [nb_pad, 128]
-        counts = np.asarray(jnp.sum(cnt_steps, axis=1))
-        w_slots = max(128, -(-int(counts.max()) // 2 // 128) * 128) if counts.size else 128
+        counts_2d = np.asarray(cnt_steps[:, :seg_steps])  # [nb_pad, steps]
+        # Segment the concat along the step axis: its cost is
+        # O(output chunks x steps scanned) per tile, so 16-step segments
+        # with per-segment chunk counts cost ~4x less than one pass over
+        # the whole block; the host mux joins the ragged segments.
+        c16 = min(16, seg_steps)
+        segs = seg_steps // c16
+        cnt_seg = jnp.pad(
+            jnp.transpose(cnt_steps[:, : seg_steps].reshape(nb_pad, segs, c16), (1, 0, 2)),
+            ((0, 0), (0, 0), (0, 128 - c16)),
+        )
+        seg_words = counts_2d.reshape(nb_pad, segs, c16).sum(axis=2)  # [nb, segs]
+        wq_t = np.maximum(1, -(-(-(-seg_words.max(axis=0)) // 2) // 128))  # chunks/segment
+        wcap16 = c16 * N // 2
         stream_full = _concat_mega(
-            jnp.asarray(np.array([[w_slots // 128]], np.int32)),
-            win.reshape(1, seg_steps, nb_pad, 128),
-            cnt_steps.reshape(1, nb_pad, 128),
+            jnp.asarray(wq_t[:, None].astype(np.int32)),
+            win.reshape(segs, c16, nb_pad, 128),
+            cnt_seg,
             rows=nb_pad,
             rc=rc,
-            steps=seg_steps,
-            wcap=wcap,
-            n_tiles=1,
+            steps=c16,
+            wcap=wcap16,
+            n_tiles=segs,
             interpret=interpret,
         )
-        seg_streams[seg] = np.asarray(stream_full[0, :, :w_slots]).view(np.uint32)
-        seg_counts[seg] = counts
+        seg_streams[seg] = np.asarray(stream_full)  # [segs, nb_pad, wcap16]
+        seg_counts[seg] = seg_words
     states_np = np.asarray(states)
 
     parts = []
     for k in range(nb):
         words = b"".join(
-            seg_streams[seg][k].view("<u4").tobytes()[: 2 * int(seg_counts[seg][k])]
+            seg_streams[seg][t, k].view("<u4").tobytes()[: 2 * int(seg_counts[seg][k, t])]
             for seg in range(n_segs)
+            for t in range(seg_counts[seg].shape[1])
         )
         w_count = len(words) // 2
         offset = 2 * N + 256 + w_count - 1  # never the last block

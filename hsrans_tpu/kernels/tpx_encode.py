@@ -258,13 +258,14 @@ def _encode_mega(vlen, fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, packed, *, rows, s4
 
 
 def _concat_kernel(
-    wq_ref,  # SMEM (1,1) i32: number of 128-slot output chunks in use
+    wq_ref,  # SMEM i32: 128-slot output chunks in use (per tile if per_tile)
     win_ref,  # VMEM [1, S, Rc, 128] i32: per-step compacted words
     cnt_ref,  # VMEM [1, Rc, 128] i32: per-step word counts (lanes 0..S-1)
     out_ref,  # out VMEM [1, Rc, Wcap] i32: packed u32 stream slots
     *,
     rc: int,
     steps: int,
+    per_tile: bool = False,
 ):
     cnt = cnt_ref[0].astype(jnp.float32)
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -301,7 +302,7 @@ def _concat_kernel(
             out_ref[0, :, pl.ds(c * 128, 128)] = packed
             return carry
 
-        jax.lax.fori_loop(0, wq_ref[0, 0], chunk_body, 0)
+        jax.lax.fori_loop(0, wq_ref[pl.program_id(0) if per_tile else 0, 0], chunk_body, 0)
 
     for g, s_lo in enumerate(range(0, steps, 16)):
         chunk_pass(s_lo, min(s_lo + 16, steps), first=g == 0)
@@ -324,12 +325,16 @@ def _concat_mega(wq, win, cnt, *, rows, rc, steps, wcap, n_tiles, interpret=Fals
     # the grid floor-divides: a non-divisor rc would silently skip the
     # trailing rows and emit structurally valid but corrupt streams
     assert rows % rc == 0, f"concat rc={rc} must divide rows={rows}"
-    kernel = functools.partial(_concat_kernel, rc=rc, steps=steps)
+    # wq may be per tile ([n_tiles, 1]) or shared ([1, 1]): the concat cost
+    # is O(chunks x steps) per tile, so callers that segment the step axis
+    # pass each segment's own chunk count
+    per_tile = int(wq.shape[0]) == n_tiles and n_tiles > 1
+    kernel = functools.partial(_concat_kernel, rc=rc, steps=steps, per_tile=per_tile)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles, rows // rc),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t, r: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((int(wq.shape[0]), 1), lambda t, r: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, steps, rc, 128), lambda t, r: (t, 0, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rc, 128), lambda t, r: (t, r, 0), memory_space=pltpu.VMEM),
         ],
