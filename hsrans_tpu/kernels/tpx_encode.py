@@ -411,6 +411,7 @@ def tpx_encode_tpu(
     p: TpxParams | None = None,
     interpret: bool = False,
     device_tables: bool = False,
+    goal: str = "balanced",
 ) -> bytes:
     """Encode to the tpx format on the TPU; bit-identical to tpx_encode.
 
@@ -421,7 +422,7 @@ def tpx_encode_tpu(
     bit-exact with the host one)."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     length = arr.size
-    p = p or TpxParams.auto(length, bits)
+    p = p or TpxParams.auto(length, bits, goal)
     bits = p.bits
     if p.lanes != L or p.steps % 4 or p.rows % 8:
         raise ValueError("kernel encode requires lanes=128, steps%4==0, rows%8==0")

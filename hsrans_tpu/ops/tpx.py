@@ -99,13 +99,35 @@ class TpxParams:
         return self.rows * self.row_span
 
     @classmethod
-    def auto(cls, length: int, bits: int = 12) -> "TpxParams":
-        """Geometry scaled to the input: small inputs get fewer rows so the
-        per-mega state header (rows*lanes*4 bytes) stays a small fraction;
-        large inputs get the v5e throughput sweet spot (rows=1024)."""
-        rows = max(8, min(R, -(-length // (T * S * L))))  # one mega covers it
+    def auto(cls, length: int, bits: int = 12, goal: str = "balanced") -> "TpxParams":
+        """Geometry scaled to the input and the speed/ratio goal.
+
+        The dial is the CHAIN COUNT (rows x 128 lanes): throughput scales
+        with chains (VPU rows), while ratio pays for them twice — the
+        per-mega state snapshot is 4 bytes/chain, and the per-tile
+        histogram span is rows * 4 KiB.  Large inputs (>= 32 MiB) always
+        take the v5e throughput sweet spot (rows=1024, 4 MiB tiles,
+        snapshot <= 0.8 %).  Below that:
+
+          * "speed":    rows to fill the device (snapshot up to ~3 %)
+          * "balanced": rows ~ len/85 KB, capped 128 (mixed 6 MiB: 0.629)
+          * "ratio":    rows ~ len/200 KB, capped 96 — 128 KiB-class tiles
+            and ~0.3 % snapshot; the mixed 6 MiB corpus compresses to
+            0.589, BEATING the block codec's 0.603
+
+        Tiles-per-mega rises so one mega covers the input (snapshots don't
+        duplicate across megas)."""
+        if length >= 32 << 20:
+            return cls(bits=bits)
+        if goal == "speed":
+            rows = max(8, min(R, -(-length // (T * S * L))))
+        elif goal == "ratio":
+            rows = max(8, min(96, length // 200000))
+        else:
+            rows = max(8, min(128, length // 85000))
         rows = -(-rows // 8) * 8
-        return cls(bits=bits, rows=rows)
+        tiles = max(1, min(64, -(-length // (rows * S * L))))
+        return cls(bits=bits, rows=rows, tiles=tiles)
 
 
 def make_rank_tables(hist: Hist) -> dict[str, np.ndarray]:
@@ -168,10 +190,10 @@ def _mega_layout(length: int, p: TpxParams) -> list[tuple[int, int, int]]:
     return out
 
 
-def tpx_encode(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = None) -> bytes:
+def tpx_encode(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = None, goal: str = "balanced") -> bytes:
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     length = arr.size
-    p = p or TpxParams.auto(length, bits)
+    p = p or TpxParams.auto(length, bits, goal)
     bits = p.bits
     emit_point = _U32(encode_emit_point_16(bits))
 
