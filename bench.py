@@ -224,6 +224,12 @@ def bench_mt(corpus_big):
     record("ratio_mt_corpus", len(blob) / corpus_big.size, "ratio")
     _mt_bucket_slope(blob, BITS, "mt_planner_decode_B12", BASELINE_MT)
 
+    # full-depth sweep on planner blobs (reference mt figures, README.md:
+    # 182/186/192; x-ray 32T: B10 18,035.77, B12 13,207, B15 7,308)
+    for bits, base in ((10, 18035.77), (11, None), (13, None), (14, None), (15, 7471.0)):
+        blob_b = mt_encode(corpus_big, bits, 64)
+        _mt_bucket_slope(blob_b, bits, f"mt_planner_decode_B{bits}", base)
+
     small = corpus_big[: 16 << 20]
     blob4k = mt_encode(small, BITS, 64, plan=uniform_plan(small, BITS, 64, 4096))
     _mt_bucket_slope(blob4k, BITS, "mt_uniform4k_decode_B12", BASELINE_DEC)
@@ -231,11 +237,6 @@ def bench_mt(corpus_big):
     one = corpus_big[:65600]
     blob1 = mt_encode(one, BITS, 64, plan=uniform_plan(one, BITS, 64, 65536))
     _mt_bucket_slope(blob1, BITS, "single_chain_decode_B12", None)
-
-    # B=15 tier: the reference's mt runs at 7.3 GiB/s here (README.md:192)
-    small15 = corpus_big[: 16 << 20]
-    blob15 = mt_encode(small15, 15, 64)
-    _mt_bucket_slope(blob15, 15, "mt_planner_decode_B15", 7471.0)
 
 
 def bench_mt_device_encode(corpus, bs, nb, label):
@@ -361,6 +362,7 @@ def main() -> None:
         lambda: bench_mt_device_encode(corpus_big, 65536, 512, "mt_device_encode_planner"),
         lambda: bench_tpx_decode(text[: 16 << 20], 13, "tpx_decode_B13", BASELINE_DEC),
         lambda: bench_tpx_decode(text[: 16 << 20], 15, "tpx_decode_B15", BASELINE_DEC),
+        lambda: bench_tpx_decode(text[: 16 << 20], 10, "tpx_decode_B10", BASELINE_DEC),
         lambda: bench_native(corpus_big[: 12 << 20]),
         # the ratio-goal geometry trades chains for ratio (0.589 on the
         # mixed corpus, beating the block codec); its decode rate is

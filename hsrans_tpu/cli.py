@@ -197,6 +197,15 @@ def main(argv: list[str] | None = None) -> int:
     if args["backend"] == "auto":
         cap = detect()
         args["backend"] = "device" if cap.tier == "tpu" else "numpy"
+    if args["backend"] == "interpret":
+        # the interpret tier is the capability-downgrade analog of the
+        # reference's mid --max-simd levels: it must run the kernels in
+        # Mosaic-interpret on CPU even when a TPU plugin force-selects
+        # itself at startup (the axon plugin does), or every jit would
+        # compile for the device it claims to be avoiding
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     print(banner())
 
     data = np.fromfile(args["file"], dtype=np.uint8)
