@@ -473,12 +473,12 @@ def mt64_decode_tpu(
         idxs = sorted(idxs, key=lambda i: w_all[i])
         blk = [kernel_blocks[i] for i in idxs]
         wc = [w_all[i] for i in idxs]
-        if _USE_PAIR_KERNEL and n == 64 and mesh is None and len(idxs) >= 2:
+        if _USE_PAIR_KERNEL and n == 64 and len(idxs) >= 2 and (mesh is None or bits <= 12):
             # two blocks per 128-lane row (the step is latency-bound on its
             # gather chain; sharing window/pack/matmul across a pair cuts
             # gathers per byte ~1.4x); odd leftover joins the single path
             nbp = len(idxs) // 2 * 2
-            rows2 = decode_bucket_paired(blk[:nbp], wc[:nbp], stream, bits, interpret)
+            rows2 = decode_bucket_paired(blk[:nbp], wc[:nbp], stream, bits, interpret, mesh, axis)
             if rows2 is not None:
                 for j in range(nbp):
                     decoded[idxs[j]] = rows2[j]
@@ -838,6 +838,7 @@ def build_pair_arrays(
     w_counts: list[int],
     stream: np.ndarray,
     bits: int,
+    n_dev: int = 1,
 ) -> tuple[list[np.ndarray], dict] | None:
     """Operands for the paired kernel (block 2p in lanes 0..63 of pair row
     p, block 2p+1 in 64..127; 64-slot interleaved half-chunks)."""
@@ -860,10 +861,12 @@ def build_pair_arrays(
     if g_cap < 8:
         return None
     # split pairs EVENLY over the minimum group count: padding rows decode
-    # dead bytes at full price (299 pairs at g_cap 256 would pad 42%)
-    n_grp = -(-pairs // g_cap)
-    g_rows = max(8, -(-(-(-pairs // n_grp)) // 8) * 8)
-    npad = n_grp * g_rows
+    # dead bytes at full price (299 pairs at g_cap 256 would pad 42%).
+    # Under a mesh, groups are per device (shard_map slices the row axis).
+    pairs_dev = -(-pairs // n_dev)
+    n_grp = -(-pairs_dev // g_cap)
+    g_rows = max(8, -(-(-(-pairs_dev // n_grp)) // 8) * 8)
+    npad = n_dev * n_grp * g_rows
 
     c0a = np.zeros((npad, 128), np.int32)
     c0b = np.zeros((npad, 128), np.int32)
@@ -898,7 +901,7 @@ def build_pair_arrays(
 
     arrs = [c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream_cm.view(np.int32), init]
     kw = dict(
-        g_rows=g_rows, n_groups=npad // g_rows, s4c=size0 // 256,
+        g_rows=g_rows, n_groups=npad // g_rows // n_dev, s4c=size0 // 256,
         w_chunks=w_chunks, bits=bits, small_rank=small_rank,
     )
     return arrs, kw
@@ -910,6 +913,8 @@ def decode_bucket_paired(
     stream: np.ndarray,
     bits: int,
     interpret: bool,
+    mesh=None,
+    axis: str = "dp",
 ) -> np.ndarray | None:
     """Decode an even-count bucket two blocks per row; returns
     [nbp, size] bytes for the paired prefix of the bucket.  B<=12 buckets
@@ -933,11 +938,46 @@ def decode_bucket_paired(
             out[2 * p] = a
             out[2 * p + 1] = b
         return out
-    built = build_pair_arrays(kernel_blocks, w_counts, stream, bits)
+    n_dev = mesh.shape[axis] if mesh is not None else 1
+    built = build_pair_arrays(kernel_blocks, w_counts, stream, bits, n_dev)
     if built is None:
         return None
     arrs, kw = built
     size0 = kernel_blocks[0].size
+    if mesh is not None:
+        # the reference thread-pool fan-out mapped to chips: pair rows
+        # shard over the mesh axis, tables travel with their rows, outputs
+        # gather in order at the shard_map boundary
+        from jax.sharding import PartitionSpec as P
+
+        npad = arrs[0].shape[0]
+        kwc = dict(
+            g_rows=kw["g_rows"], n_groups=kw["n_groups"], s4c_slice=kw["s4c"],
+            w_chunks=kw["w_chunks"], bits=bits, small_rank=kw["small_rank"],
+            interpret=interpret,
+        )
+        fn = jax.shard_map(
+            lambda *a: _pairs_slice_call(*a, **kwc)[0],
+            mesh=mesh,
+            in_specs=(P(axis),) * 8 + (P(None, axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        args = [jnp.asarray(a) for a in arrs[:8]] + [
+            jnp.asarray(arrs[8]),
+            jnp.asarray(arrs[9]),
+            jnp.zeros((npad, 128), jnp.int32),
+        ]
+        out_dev = fn(*args)
+        o = np.asarray(out_dev)
+        s4c_t = o.shape[1] // 128
+        u32 = o.reshape(npad, s4c_t, 4, 2, 16)
+        a = np.ascontiguousarray(u32[:, :, :, 0, :]).view(np.uint8).reshape(npad, size0)
+        b = np.ascontiguousarray(u32[:, :, :, 1, :]).view(np.uint8).reshape(npad, size0)
+        out = np.empty((npad * 2, size0), np.uint8)
+        out[0::2] = a
+        out[1::2] = b
+        return out
     if _PAIR_V2:
         packed = _decode_pairs_v2(*[jnp.asarray(a) for a in arrs], **kw, interpret=interpret)
         u32 = np.asarray(packed).reshape(-1, kw["s4c"], 4, 2, 16)
