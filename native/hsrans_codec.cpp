@@ -963,78 +963,93 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
 namespace {
 
 template <uint32_t N>
-__attribute__((target("avx512f,avx512bw,avx512vbmi,avx512vl")))
+__attribute__((target("avx2,avx512f,avx512bw,avx512vbmi,avx512vl")))
 int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stream,
                              uint64_t nwords, uint64_t r, uint8_t *out,
                              uint64_t out_pos, uint64_t num_groups) {
-  constexpr int NV = N / 16;  // 16 u32 states per zmm
+  // N/8 independent 8-lane (ymm) chains: the group-to-group critical path
+  // is state -> slot -> table gather -> renorm -> state per sub-vector
+  // (the shared read cursor only links the cheap popcount adds), and ymm
+  // vpgatherdd has roughly half the 16-lane form's latency — measured the
+  // difference between 0.7x and parity against the reference's AVX2
+  // decoders on this core (same finding as the 32blk kernel).
+  constexpr int NV = N / 8;
   constexpr Perm<N> perm;
   alignas(64) uint8_t inv[64] = {};
   for (uint32_t j = 0; j < N; j++) inv[perm.p[j]] = (uint8_t)j;
   const __m512i inv_idx = _mm512_loadu_si512(inv);
-  const __m512i slot_mask = _mm512_set1_epi32((1 << t->bits) - 1);
-  const __m512i lo12 = _mm512_set1_epi32(0xFFF);
-  const __m512i lo16 = _mm512_set1_epi32(0xFFFF);
-  const __m512i lo8 = _mm512_set1_epi32(0xFF);
-  const __m512i one = _mm512_set1_epi32(1);
-  const __m512i consume_lim = _mm512_set1_epi32(kConsumePoint);
+  const __m256i slot_mask = _mm256_set1_epi32((1 << t->bits) - 1);
+  const __m256i lo12 = _mm256_set1_epi32(0xFFF);
+  const __m256i lo16 = _mm256_set1_epi32(0xFFFF);
+  const __m256i lo8 = _mm256_set1_epi32(0xFF);
+  const __m256i one = _mm256_set1_epi32(1);
+  const __m256i consume_lim = _mm256_set1_epi32(kConsumePoint);
   const bool packed = t->packed;
   const int *pk = packed ? (const int *)t->pack.data() : nullptr;
   const int *sym_tab = packed ? nullptr : (const int *)t->sym.data();
   const int *fc_tab = packed ? nullptr : (const int *)t->fcsym;
   const uint32_t bits = t->bits;
 
-  __m512i st[NV];
-  for (int v = 0; v < NV; v++) st[v] = _mm512_loadu_si512(co->states + 16 * v);
+  __m256i st[NV];
+  for (int v = 0; v < NV; v++) st[v] = _mm256_loadu_si256((const __m256i *)(co->states + 8 * v));
 
+  alignas(64) uint8_t symbuf[64];
+  __m256i symq[NV];
   for (uint64_t g = 0; g < num_groups; g++) {
     if (r + N > nwords + N) {  // padded slack bounds one group's consumption
-      for (int v = 0; v < NV; v++) _mm512_storeu_si512(co->states + 16 * v, st[v]);
+      for (int v = 0; v < NV; v++) _mm256_storeu_si256((__m256i *)(co->states + 8 * v), st[v]);
       return -1;
     }
-    __m512i sym64 = _mm512_setzero_si512();
-    // phase 1: the sub-vectors' gathers are independent (slots come from
-    // last group's states) — issue them all before the renorm chain so
-    // their latencies overlap instead of serializing behind r
-    __m512i slot[NV], pck[NV], symv[NV];
-    for (int v = 0; v < NV; v++) slot[v] = _mm512_and_si512(st[v], slot_mask);
+    // phase 1: every sub-vector's table gather issues before the renorm
+    // chain (slots come from last group's states)
+    __m256i slot[NV], pck[NV], symv[NV];
+    for (int v = 0; v < NV; v++) slot[v] = _mm256_and_si256(st[v], slot_mask);
     if (packed) {
-      for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(slot[v], pk, 4);
+      for (int v = 0; v < NV; v++) pck[v] = _mm256_i32gather_epi32(pk, slot[v], 4);
     } else {
-      // B>=13: cumulInv byte gather then freq|cumul<<16 by symbol (the
-      // reference's hist_dec2 varA scheme, block_rANS32x64_16w_decode.cpp:137)
       for (int v = 0; v < NV; v++)
-        symv[v] = _mm512_and_si512(_mm512_i32gather_epi32(slot[v], sym_tab, 1), lo8);
-      for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(symv[v], fc_tab, 4);
+        symv[v] = _mm256_and_si256(_mm256_i32gather_epi32(sym_tab, slot[v], 1), lo8);
+      for (int v = 0; v < NV; v++) pck[v] = _mm256_i32gather_epi32(fc_tab, symv[v], 4);
     }
     for (int v = 0; v < NV; v++) {
-      const __m512i sym = packed ? _mm512_and_si512(pck[v], _mm512_set1_epi32(0xFF)) : symv[v];
-      const __m512i cum = packed ? _mm512_and_si512(_mm512_srli_epi32(pck[v], 8), lo12)
-                                 : _mm512_srli_epi32(pck[v], 16);
-      const __m512i freq = packed ? _mm512_add_epi32(_mm512_srli_epi32(pck[v], 20), one)
-                                  : _mm512_and_si512(pck[v], lo16);
-      __m512i s = _mm512_add_epi32(
-          _mm512_sub_epi32(slot[v], cum),
-          _mm512_mullo_epi32(_mm512_srli_epi32(st[v], bits), freq));
-      const __mmask16 k = _mm512_cmplt_epu32_mask(s, consume_lim);
-      // next 16 stream words, distributed in lane order to the k lanes
-      const __m512i words = _mm512_cvtepu16_epi32(_mm256_loadu_si256((const __m256i *)(stream + r)));
-      const __m512i renorm = _mm512_or_si512(_mm512_slli_epi32(s, 16),
-                                             _mm512_maskz_expand_epi32(k, words));
-      s = _mm512_mask_mov_epi32(s, k, renorm);
+      const __m256i sym = packed ? _mm256_and_si256(pck[v], lo8) : symv[v];
+      const __m256i cum = packed ? _mm256_and_si256(_mm256_srli_epi32(pck[v], 8), lo12)
+                                 : _mm256_srli_epi32(pck[v], 16);
+      const __m256i freq = packed ? _mm256_add_epi32(_mm256_srli_epi32(pck[v], 20), one)
+                                  : _mm256_and_si256(pck[v], lo16);
+      __m256i s = _mm256_add_epi32(
+          _mm256_sub_epi32(slot[v], cum),
+          _mm256_mullo_epi32(_mm256_srli_epi32(st[v], bits), freq));
+      const __mmask8 k = _mm256_cmplt_epu32_mask(s, consume_lim);
+      // next 8 stream words, distributed in lane order to the k lanes
+      const __m256i words = _mm256_cvtepu16_epi32(_mm_loadu_si128((const __m128i *)(stream + r)));
+      const __m256i renorm = _mm256_or_si256(_mm256_slli_epi32(s, 16),
+                                             _mm256_maskz_expand_epi32(k, words));
+      s = _mm256_mask_mov_epi32(s, k, renorm);
       r += (uint64_t)_mm_popcnt_u32((uint32_t)k);
       st[v] = s;
-      // collect this sub-vector's 16 symbol bytes into sym64's v-th 128 bits
-      const __m128i b16 = _mm512_cvtepi32_epi8(sym);
-      sym64 = _mm512_inserti32x4(sym64, b16, v);
+      if (N >= 32)
+        symq[v] = sym;
+      else
+        _mm_storel_epi64((__m128i *)(symbuf + 8 * v), _mm256_cvtepi32_epi8(sym));
     }
-    const __m512i wire = _mm512_permutexvar_epi8(inv_idx, sym64);
     uint8_t *og = out + out_pos + g * N;
-    if (N == 64) _mm512_storeu_si512(og, wire);
-    else if (N == 32) _mm256_storeu_si256((__m256i *)og, _mm512_castsi512_si256(wire));
-    else _mm_storeu_si128((__m128i *)og, _mm512_castsi512_si128(wire));
+    if (N >= 32) {
+      // idx2idx was designed so packus lands bytes in wire order per
+      // 32-lane half (rANS32x32_16w.cpp:1182) — no permute, no bounce
+      // through a byte buffer (8 narrow stores + one wide reload stall
+      // store-forwarding every group)
+      for (uint32_t h = 0; h < N / 32; h++) {
+        const __m256i p01 = _mm256_packus_epi32(symq[4 * h + 0], symq[4 * h + 1]);
+        const __m256i p23 = _mm256_packus_epi32(symq[4 * h + 2], symq[4 * h + 3]);
+        _mm256_storeu_si256((__m256i *)(og + 32 * h), _mm256_packus_epi16(p01, p23));
+      }
+    } else {
+      const __m512i wire = _mm512_permutexvar_epi8(inv_idx, _mm512_load_si512(symbuf));
+      _mm_storeu_si128((__m128i *)og, _mm512_castsi512_si128(wire));
+    }
   }
-  for (int v = 0; v < NV; v++) _mm512_storeu_si512(co->states + 16 * v, st[v]);
+  for (int v = 0; v < NV; v++) _mm256_storeu_si256((__m256i *)(co->states + 8 * v), st[v]);
   return (int64_t)r;
 }
 
