@@ -235,7 +235,15 @@ def _codec_encode(fn_name: str, data: np.ndarray, bits: int, n: int, capacity: i
     return out[:got].tobytes() if got >= 0 else None
 
 
-def _codec_decode(fn_name: str, blob, bits: int, n: int, *extra) -> bytes | None:
+def codec_call_len(fn_name: str, src: np.ndarray, dst: np.ndarray, bits: int, n: int, *extra) -> int:
+    """Raw timed entry for benchmarking: src/dst are caller-owned reusable
+    buffers (the reference bench preallocates both, main.cpp:627-680), no
+    bytes copy-out.  Returns the native return value."""
+    lib = load()
+    return int(getattr(lib, fn_name)(_u8p(src), src.size, _u8p(dst), dst.size, bits, n, *extra))
+
+
+def _codec_decode(fn_name: str, blob, bits: int, n: int, *extra, out: np.ndarray | None = None) -> bytes | None:
     lib = load()
     if lib is None:
         return None
@@ -245,13 +253,14 @@ def _codec_decode(fn_name: str, blob, bits: int, n: int, *extra) -> bytes | None
     length = int.from_bytes(buf[:8].tobytes(), "little")
     if length > (1 << 40):
         return None  # implausible header; avoid huge allocation
-    try:
-        # the header length is untrusted: a forged rawLength below the
-        # plausibility cap can still exceed available memory, and the
-        # malformed-input contract is "return None, never raise"
-        out = np.zeros(max(length, 1), dtype=np.uint8)
-    except MemoryError:
-        return None
+    if out is None or out.size < length:
+        try:
+            # the header length is untrusted: a forged rawLength below the
+            # plausibility cap can still exceed available memory, and the
+            # malformed-input contract is "return None, never raise"
+            out = np.zeros(max(length, 1), dtype=np.uint8)
+        except MemoryError:
+            return None
     got = getattr(lib, fn_name)(_u8p(buf), buf.size, _u8p(out), out.size, bits, n, *extra)
     return out[:got].tobytes() if got >= 0 else None
 
@@ -261,8 +270,8 @@ def raw_encode(data: np.ndarray, bits: int, n: int) -> bytes | None:
     return _codec_encode("hsr_raw_encode", data, bits, n, data.size + n * 8 + 1024 + (data.size >> 2))
 
 
-def raw_decode(blob, bits: int, n: int) -> bytes | None:
-    return _codec_decode("hsr_raw_decode", blob, bits, n)
+def raw_decode(blob, bits: int, n: int, out: np.ndarray | None = None) -> bytes | None:
+    return _codec_decode("hsr_raw_decode", blob, bits, n, out=out)
 
 
 def block_encode(data: np.ndarray, bits: int, n: int) -> bytes | None:
@@ -270,8 +279,8 @@ def block_encode(data: np.ndarray, bits: int, n: int) -> bytes | None:
     return _codec_encode("hsr_block_encode", data, bits, n, cap)
 
 
-def block_decode(blob, bits: int, n: int) -> bytes | None:
-    return _codec_decode("hsr_block_decode", blob, bits, n)
+def block_decode(blob, bits: int, n: int, out: np.ndarray | None = None) -> bytes | None:
+    return _codec_decode("hsr_block_decode", blob, bits, n, out=out)
 
 
 def mt_encode(data: np.ndarray, bits: int, n: int) -> bytes | None:
@@ -279,9 +288,9 @@ def mt_encode(data: np.ndarray, bits: int, n: int) -> bytes | None:
     return _codec_encode("hsr_mt_encode", data, bits, n, cap)
 
 
-def mt_decode(blob, bits: int, n: int, threads: int = 0) -> bytes | None:
+def mt_decode(blob, bits: int, n: int, threads: int = 0, out: np.ndarray | None = None) -> bytes | None:
     """Native mt decode; blocks fan out to the C++ thread pool."""
-    return _codec_decode("hsr_mt_decode", blob, bits, n, threads)
+    return _codec_decode("hsr_mt_decode", blob, bits, n, threads, out=out)
 
 
 def blk32_encode(data: np.ndarray, bits: int, word_bits: int) -> bytes | None:
@@ -290,5 +299,5 @@ def blk32_encode(data: np.ndarray, bits: int, word_bits: int) -> bytes | None:
     return _codec_encode("hsr_blk32_encode", data, bits, word_bits, cap)
 
 
-def blk32_decode(blob, bits: int, word_bits: int) -> bytes | None:
-    return _codec_decode("hsr_blk32_decode", blob, bits, word_bits)
+def blk32_decode(blob, bits: int, word_bits: int, out: np.ndarray | None = None) -> bytes | None:
+    return _codec_decode("hsr_blk32_decode", blob, bits, word_bits, out=out)

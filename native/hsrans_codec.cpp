@@ -234,6 +234,9 @@ void blk32_decode_avx512(const DecTable *t, const uint16_t *lanes_buf,
                          const uint8_t *lanes_buf8, const uint32_t *lane_off32,
                          uint32_t *r_io, uint32_t *states, uint8_t *out,
                          uint64_t full_groups, uint32_t word_bits);
+void blk32_encode_chunk_avx512(const EncTable *t, const uint8_t *chunk, uint64_t groups,
+                               uint32_t *states, uint32_t *scratch32, uint32_t *cnt_out,
+                               uint32_t word_bits);
 bool avx512_ok();
 #endif
 
@@ -792,11 +795,47 @@ extern "C" int64_t hsr_blk32_encode(const uint8_t *data, uint64_t size, uint8_t 
     cur[j] = end_[j] = scratch.data() + lane_cap * (j + 1);
 
   const uint64_t total = size ? (size + N32 - 1) / N32 : 0;
-  for (uint64_t gi = total; gi-- > 0;) {
-    const uint64_t base = gi * N32;
+  uint64_t g_rem = total;
+  // the tail (partial) group must go scalar; it is encoded FIRST (rANS is
+  // LIFO), then full groups run through the AVX-512 chunk kernel
+  if (total && total * N32 > size) {
+    const uint64_t base = (total - 1) * N32;
     for (int64_t j = N32 - 1; j >= 0; j--) {
       const uint64_t pos = base + perm.p[j];
       if (pos >= size) continue;
+      const EncSym e = t.sym[data[pos]];
+      uint32_t s = st[j];
+      if (word_bits == 16) {
+        if (s >= e.emit_at) { *--cur[j] = (uint16_t)s; s >>= 16; }
+      } else {
+        const uint32_t max_state = emit_point8 * (uint32_t)e.freq;
+        while (s >= max_state) { *--cur[j] = (uint8_t)s; s >>= 8; }
+      }
+      const uint32_t q = (uint32_t)((((uint64_t)e.magic * s) >> 31) >> e.shift);
+      st[j] = (q << bits) + e.cumul + (s - q * e.freq);
+    }
+    g_rem = total - 1;
+  }
+#if defined(__x86_64__)
+  if (g_rem >= 64 && avx512cd_ok()) {
+    constexpr uint64_t kChunk = 1 << 14;  // 512 KiB of input per pass
+    const int mult = word_bits == 16 ? 1 : 2;
+    std::vector<uint32_t> soa(kChunk * N32 * mult);
+    uint32_t vcnt[N32];
+    while (g_rem > 0) {
+      const uint64_t c = g_rem < kChunk ? g_rem : kChunk;
+      blk32_encode_chunk_avx512(&t, data + (g_rem - c) * N32, c, st, soa.data(), vcnt, word_bits);
+      for (uint32_t j = 0; j < N32; j++)
+        for (uint32_t k = 0; k < vcnt[j]; k++)
+          *--cur[j] = (uint16_t)soa[(uint64_t)k * N32 + j];
+      g_rem -= c;
+    }
+  }
+#endif
+  for (uint64_t gi = g_rem; gi-- > 0;) {
+    const uint64_t base = gi * N32;
+    for (int64_t j = N32 - 1; j >= 0; j--) {
+      const uint64_t pos = base + perm.p[j];
       const EncSym e = t.sym[data[pos]];
       uint32_t s = st[j];
       if (word_bits == 16) {
@@ -1051,6 +1090,93 @@ int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *strea
   }
   for (int v = 0; v < NV; v++) _mm256_storeu_si256((__m256i *)(co->states + 8 * v), st[v]);
   return (int64_t)r;
+}
+
+// 32blk encode: emissions scatter to a [slot, lane] SOA scratch (each
+// lane's streams are private, so slot = per-lane running count and the
+// scatter indices never collide); the caller drains the scratch into the
+// per-lane backward stream writers chunk by chunk.  The reference has no
+// vector encoder at all (README.md:26).
+template <bool kW16>
+__attribute__((target("avx2,avx512f,avx512bw,avx512vbmi,avx512vl,avx512cd")))
+void blk32_encode_chunk_avx512_t(const EncTable *t, const uint8_t *chunk, uint64_t groups,
+                                 uint32_t *states, uint32_t *scratch32, uint32_t *cnt_out) {
+  constexpr uint32_t N32 = 32;
+  constexpr Perm<N32> perm;
+  alignas(64) uint8_t pvec[64] = {};
+  for (uint32_t j = 0; j < N32; j++) pvec[j] = perm.p[j];
+  const __m512i perm_idx = _mm512_loadu_si512(pvec);
+  const __m512i lo16z = _mm512_set1_epi32(0xFFFF);
+  const uint32_t bits = t->bits;
+  const __m512i ep = _mm512_set1_epi32(
+      kW16 ? (int)((kConsumePoint >> bits) << 16) : (int)(((1u << 23) >> bits) << 8));
+  const __m512i ktot = _mm512_set1_epi32(1 << bits);
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i vmask = _mm512_set1_epi32(kW16 ? 0xFFFF : 0xFF);
+  constexpr uint32_t wshift = kW16 ? 16 : 8;
+  constexpr int rounds = kW16 ? 1 : 2;
+  const int *fc_tab = (const int *)t->fc;
+  const int *mg_tab = (const int *)t->magic;
+
+  __m512i st[2], cnt[2], lid[2];
+  alignas(64) int ids[16] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+  lid[0] = _mm512_load_si512(ids);
+  lid[1] = _mm512_add_epi32(lid[0], _mm512_set1_epi32(16));
+  for (int v = 0; v < 2; v++) {
+    st[v] = _mm512_loadu_si512(states + 16 * v);
+    cnt[v] = _mm512_setzero_si512();
+  }
+
+  for (uint64_t g = groups; g-- > 0;) {
+    const __m512i grp = _mm512_permutexvar_epi8(
+        perm_idx, _mm512_castsi256_si512(_mm256_loadu_si256((const __m256i *)(chunk + g * N32))));
+    __m512i sym[2], fc[2], mg[2];
+    for (int v = 0; v < 2; v++)
+      sym[v] = _mm512_cvtepu8_epi32(_mm512_extracti32x4_epi32(grp, v));
+    for (int v = 0; v < 2; v++) fc[v] = _mm512_i32gather_epi32(sym[v], fc_tab, 4);
+    for (int v = 0; v < 2; v++) mg[v] = _mm512_i32gather_epi32(sym[v], mg_tab, 4);
+
+    for (int v = 1; v >= 0; v--) {  // lanes descending like the scalar path
+      const __m512i freq = _mm512_and_si512(fc[v], lo16z);
+      const __m512i cum = _mm512_srli_epi32(fc[v], 16);
+      __m512i s = st[v];
+      for (int e = 0; e < rounds; e++) {
+        const __mmask16 k =
+            _mm512_cmpge_epu32_mask(s, _mm512_mullo_epi32(ep, freq));
+        const __m512i idx = _mm512_add_epi32(
+            _mm512_slli_epi32(cnt[v], 5), lid[v]);
+        _mm512_mask_i32scatter_epi32(scratch32, k, idx, _mm512_and_si512(s, vmask), 4);
+        s = _mm512_mask_srli_epi32(s, k, s, wshift);
+        cnt[v] = _mm512_mask_add_epi32(cnt[v], k, cnt[v], one);
+      }
+      // q = ((magic * s) >> 31) >> shift, shift = 32 - lzcnt(freq-1)
+      const __m512i pe = _mm512_mul_epu32(mg[v], s);
+      const __m512i po = _mm512_mul_epu32(_mm512_srli_epi64(mg[v], 32),
+                                          _mm512_srli_epi64(s, 32));
+      const __m512i q31 = _mm512_mask_blend_epi32(
+          0xAAAA, _mm512_srli_epi64(pe, 31),
+          _mm512_slli_epi64(_mm512_srli_epi64(po, 31), 32));
+      const __m512i shift = _mm512_sub_epi32(
+          _mm512_set1_epi32(32),
+          _mm512_lzcnt_epi32(_mm512_sub_epi32(_mm512_max_epu32(freq, one), one)));
+      const __m512i q = _mm512_srlv_epi32(q31, shift);
+      st[v] = _mm512_add_epi32(
+          _mm512_add_epi32(_mm512_mullo_epi32(q, _mm512_sub_epi32(ktot, freq)), cum), s);
+    }
+  }
+  for (int v = 0; v < 2; v++) {
+    _mm512_storeu_si512(states + 16 * v, st[v]);
+    _mm512_storeu_si512(cnt_out + 16 * v, cnt[v]);
+  }
+}
+
+void blk32_encode_chunk_avx512(const EncTable *t, const uint8_t *chunk, uint64_t groups,
+                               uint32_t *states, uint32_t *scratch32, uint32_t *cnt_out,
+                               uint32_t word_bits) {
+  if (word_bits == 16)
+    blk32_encode_chunk_avx512_t<true>(t, chunk, groups, states, scratch32, cnt_out);
+  else
+    blk32_encode_chunk_avx512_t<false>(t, chunk, groups, states, scratch32, cnt_out);
 }
 
 bool avx512_ok() {

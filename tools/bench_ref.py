@@ -102,7 +102,7 @@ def run_reference(exe: Path, corpus: Path, bits: int, families: str, runs: int =
     return out
 
 
-def _best(fn, *a, reps=3):
+def _best(fn, *a, reps=4):
     out, t = None, 9e9
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -118,37 +118,35 @@ def run_ours(corpus: np.ndarray, bits: int, families: str) -> dict:
         return {}
     mb = corpus.size / (1 << 20)
     out: dict[str, dict] = {}
+    # the reference bench preallocates its buffers once and never copies
+    # results out (main.cpp:627-680); the timed calls here do the same
+    obuf = np.zeros(corpus.size + 64, np.uint8)
+    ebuf = np.zeros(corpus.size + (corpus.size >> 2) + (1 << 20), np.uint8)
 
-    def pair(family, enc, dec, *dec_extra):
-        blob, te = _best(enc, corpus, bits, 64)
-        if blob is None:
-            return
-        _, td = _best(dec, blob, bits, 64, *dec_extra)
+    def pair(family, enc_fn, dec_fn, enc_n=64, *dec_extra):
+        esz, te = _best(lambda: native.codec_call_len(enc_fn, corpus, ebuf, bits, enc_n))
+        if esz < 0:
+            return None
+        blob = np.ascontiguousarray(ebuf[:esz])
+        _, td = _best(lambda: native.codec_call_len(dec_fn, blob, obuf, bits, enc_n, *dec_extra))
         out[family] = {
-            "encode": (mb / te, len(blob) / corpus.size * 100),
+            "encode": (mb / te, esz / corpus.size * 100),
             "decode": mb / td,
         }
         return blob
 
     if "raw" in families:
-        pair("raw_x64", native.raw_encode, native.raw_decode)
+        pair("raw_x64", "hsr_raw_encode", "hsr_raw_decode")
     if "block" in families:
-        pair("block_x64", native.block_encode, native.block_decode)
+        pair("block_x64", "hsr_block_encode", "hsr_block_decode")
     if "mt" in families:
-        blob = pair("mt_x64", native.mt_encode, lambda b, bi, n: native.mt_decode(b, bi, n, 1))
+        blob = pair("mt_x64", "hsr_mt_encode", "hsr_mt_decode", 64, 1)
         if blob is not None:
-            _, tmt = _best(native.mt_decode, blob, bits, 64, 0)
+            _, tmt = _best(lambda: native.codec_call_len("hsr_mt_decode", blob, obuf, bits, 64, 0))
             out["mt_x64"]["decode_mt"] = mb / tmt
     if "32blk" in families:
         for wb in (16, 8):
-            blob, te = _best(native.blk32_encode, corpus, bits, wb)
-            if blob is None:
-                continue
-            _, td = _best(native.blk32_decode, blob, bits, wb)
-            out[f"blk32_{wb}w"] = {
-                "encode": (mb / te, len(blob) / corpus.size * 100),
-                "decode": mb / td,
-            }
+            blob = pair(f"blk32_{wb}w", "hsr_blk32_encode", "hsr_blk32_decode", wb)
     return out
 
 
