@@ -312,6 +312,21 @@ def bench_mt_device_encode(corpus, bs, nb, label):
     record(label, nb * bs / (1 << 20) / per, "MiB/s", BASELINE_ENC)
 
 
+def bench_ref_pairs():
+    """Same-core paired rows vs the compiled reference binary (tools/
+    bench_ref.py); each pair lands in BENCH_DETAIL as ours + _ref_same_core
+    so host comparisons never lean on the reference README's 7950X paper
+    numbers."""
+    from tools.bench_ref import head_to_head
+
+    rows = head_to_head(os.path.join(REPO, "tests", "corpus", "corpus.bin"), bits_list=(12,))
+    for r in rows:
+        if not r.get("ref_mib_s"):
+            continue
+        name = f"{r['family']}_B{r['bits']}_{r['op']}"
+        record(f"{name}_same_core", r["ours_mib_s"], "MiB/s", r["ref_mib_s"])
+
+
 def bench_native(corpus):
     from hsrans_tpu.runtime import native
 
@@ -364,6 +379,7 @@ def main() -> None:
         lambda: bench_tpx_decode(text[: 16 << 20], 15, "tpx_decode_B15", BASELINE_DEC),
         lambda: bench_tpx_decode(text[: 16 << 20], 10, "tpx_decode_B10", BASELINE_DEC),
         lambda: bench_native(corpus_big[: 12 << 20]),
+        bench_ref_pairs,
         # the ratio-goal geometry trades chains for ratio (0.589 on the
         # mixed corpus, beating the block codec); its decode rate is
         # recorded so the trade is visible, not hidden
