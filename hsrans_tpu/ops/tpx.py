@@ -276,6 +276,42 @@ def tpx_header(length: int, p: TpxParams) -> bytearray:
     return out
 
 
+def _write_mega_segs(out, n_tiles, w_slots, states, freqs, counts, seg_streams, seg_words) -> None:
+    """v2 mega writer from per-SEGMENT concat outputs: each row's wire
+    stream is the byte-level join of its segment pieces, zero-padded to the
+    row's u32-slot count — byte-identical to _write_mega over a
+    row-contiguous stream (tests pin kernel blobs to the numpy authority).
+
+    seg_streams: u32/int32 [T, S, R, Wc] slot matrices; seg_words: [T, R, S]
+    word counts per piece.
+    """
+    out += int(n_tiles).to_bytes(4, "little")
+    out += int(w_slots).to_bytes(4, "little")
+    out += states.astype("<u4").tobytes()
+    for t in range(n_tiles):
+        out += np.asarray(freqs[t]).astype("<u2").tobytes()
+        out += np.asarray(counts[t]).astype("<u2").tobytes()
+    T, S, R, WC = seg_streams.shape
+    src = np.ascontiguousarray(seg_streams, dtype=np.uint32).view(np.uint8).reshape(T * S * R, WC * 4)
+    sw = np.asarray(seg_words, dtype=np.int64)  # [T, R, S]
+    plen = (sw * 2).transpose(0, 1, 2).reshape(-1)  # bytes per piece, (t, r, s) order
+    piece_row = (
+        (np.arange(T)[:, None, None] * S + np.arange(S)[None, None, :]) * R
+        + np.arange(R)[None, :, None]
+    ).reshape(-1)  # source row of piece (t, r, s)
+    sc = (np.asarray(counts, dtype=np.int64) + 1) // 2  # [T, R] row slot counts
+    row_start = (np.cumsum(sc.reshape(-1)) - sc.reshape(-1)) * 4  # row byte starts
+    in_row = np.cumsum(sw, axis=2) - sw  # words before piece within its row
+    dest_start = (row_start.reshape(T, R, 1) + in_row * 2).reshape(-1)
+    total = int(plen.sum())
+    ar = np.arange(total, dtype=np.int64)
+    starts = np.cumsum(plen) - plen
+    within = ar - np.repeat(starts, plen)
+    dest = np.zeros(int(sc.sum()) * 4, dtype=np.uint8)
+    dest[np.repeat(dest_start, plen) + within] = src.reshape(-1)[np.repeat(piece_row * (WC * 4), plen) + within]
+    out += dest.tobytes()
+
+
 def _write_mega(out, n_tiles, w_slots, states, freqs, counts, stream) -> None:
     """Append one megablock to `out`: header fields, then (v2) each row's
     exact ceil(words/2) stream slots back to back — the counts table already
