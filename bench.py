@@ -199,28 +199,31 @@ def _mt_bucket_slope(blob, bits, label, baseline):
         sizes.setdefault((b.size, small), []).append(i)
     (size0, small), idxs = max(sizes.items(), key=lambda kv: kv[0][0] * len(kv[1]))
     idxs = sorted(idxs, key=lambda i: w_all[i])
-    use_pairs = small and len(idxs) >= 2 and K._USE_PAIR_KERNEL
-    if use_pairs:
+    if bits <= 12 and small and len(idxs) >= 2 and K._USE_PAIR_KERNEL:
         idxs = idxs[: len(idxs) // 2 * 2]
         arrs, kw = K.build_pair_arrays([kb[i] for i in idxs], [w_all[i] for i in idxs], stream, bits)
-        kernel_fn = K._decode_pairs
+        kernel_fn, xor_i = K._decode_pairs, 7
+    elif bits > 12 and len(idxs) >= 2 and K._USE_PAIR_KERNEL:
+        idxs = idxs[: len(idxs) // 2 * 2]
+        arrs, kw = K.build_pair_arrays_hb([kb[i] for i in idxs], [w_all[i] for i in idxs], stream, bits)
+        kernel_fn, xor_i = K._decode_pairs_hb, 3
     else:
         arrs, kw = K.build_bucket_arrays([kb[i] for i in idxs], [w_all[i] for i in idxs], stream, bits)
-        kernel_fn = K._decode_blocks
+        kernel_fn, xor_i = K._decode_blocks, 7
     dev = [jnp.asarray(a) for a in arrs]
 
     def one_pass(carry, _):
         a = list(dev)
-        a[7] = dev[7] ^ carry
+        a[xor_i] = dev[xor_i] ^ carry
         o = kernel_fn(*a, **kw)
         ob = o[-1][0] if isinstance(o, list) else o  # sliced pairs return [(out, perm)]
-        d = jax.lax.bitcast_convert_type(ob[: dev[7].shape[0], :128], jnp.uint32) & jnp.uint32(1)
+        d = jax.lax.bitcast_convert_type(ob[: dev[xor_i].shape[0], :128], jnp.uint32) & jnp.uint32(1)
         return carry ^ d, ob[0, 0]
 
     def many(n):
         @jax.jit
         def fn():
-            c, _ = jax.lax.scan(one_pass, jnp.zeros(dev[7].shape, jnp.uint32), None, length=n)
+            c, _ = jax.lax.scan(one_pass, jnp.zeros(dev[xor_i].shape, jnp.uint32), None, length=n)
             return c[0, 0]
 
         return fn

@@ -1480,7 +1480,10 @@ def build_pair_arrays_hb(
     size0 = kernel_blocks[0].size
     slots = [-(-w // 2) for w in w_counts[:nbp]]
     w_chunks = max(2, -(-max(slots) // 64))
-    g_cap = _PAIR_TILE_BYTES // (w_chunks * 128 * 4)
+    # high-B planner blocks are long (256 KiB..1 MiB) and few: a deeper
+    # VMEM stream budget buys rows, and their cursor spread stays small
+    # (B14 4.4 -> 6.4 GiB/s at 48 MiB)
+    g_cap = max(_PAIR_TILE_BYTES, 48 << 20) // (w_chunks * 128 * 4)
     g_cap = min(int(_os.environ.get("HSRANS_PAIR_GCAP", "256")), g_cap // 8 * 8)
     if g_cap < 8:
         return None
