@@ -398,6 +398,7 @@ def main() -> None:
         lambda: bench_native(corpus_big[: 12 << 20]),
         lambda: bench_tpx_decode(text[: 16 << 20], 13, "tpx_decode_B13", BASELINE_DEC),
         lambda: bench_tpx_decode(text[: 16 << 20], 15, "tpx_decode_B15", BASELINE_DEC),
+        lambda: bench_tpx_decode(text[: 16 << 20], 14, "tpx_decode_B14", BASELINE_DEC),
         lambda: bench_tpx_decode(text[: 16 << 20], 10, "tpx_decode_B10", BASELINE_DEC),
         # the ratio-goal geometry trades chains for ratio (0.589 on the
         # mixed corpus, beating the block codec); its decode rate is

@@ -74,18 +74,26 @@ def _tile_kernel(
 
     mask_slot = jnp.uint32((1 << bits) - 1)
     consume_point = jnp.uint32(1 << 15)
-    # 2^bits/32 rank buckets, packed 128 per sublane of the [8,128] table
-    # tile: B<=12 -> 1 chunk (row 0 only), B=15 -> 8 chunks.
-    n_bucket_chunks = max(1, (1 << bits) // 32 // 128)
+    # B<=12: one 128-bucket rank chunk (row 0).  B>=13: flat one-level rank
+    # over 64-slot buckets (the mt hb layout, kernels/mt64_decode.py):
+    # c0 row 0 = delta-packed bucket bases (4 per word), bm rows 0..nc-1 /
+    # 4..4+nc-1 = mask lo/hi chunks, t1 = freq|cumul<<16 by rank, t2 row 0
+    # = symbols packed 4 per word.  Every lookup is one dependency level —
+    # the old sequential chunk fori was the 3x B=15 cost.
+    nc64 = max(1, (1 << bits) // 64 // 128)
 
     def bcast(ref, r=0):
         return jnp.broadcast_to(ref[0, r : r + 1, :], (rows, 128)).astype(jnp.int32)
 
-    if n_bucket_chunks == 1:
-        c0 = [bcast(c0_ref)]
-        bm = [pltpu.bitcast(bcast(bm_ref), jnp.uint32)]
+    if bits <= 12:
+        c0 = bcast(c0_ref)
+        bm = pltpu.bitcast(bcast(bm_ref), jnp.uint32)
+    else:
+        cp = pltpu.bitcast(bcast(c0_ref), jnp.uint32)
+        bm_lo = [pltpu.bitcast(bcast(bm_ref, c), jnp.uint32) for c in range(nc64)]
+        bm_hi = [pltpu.bitcast(bcast(bm_ref, 4 + c), jnp.uint32) for c in range(nc64)]
+        sp4 = pltpu.bitcast(bcast(t2a_ref), jnp.uint32)
     t1a, t1b = bcast(t1a_ref), bcast(t1b_ref)
-    t2a, t2b = bcast(t2a_ref), bcast(t2b_ref)
     w_chunks = stream_scr.shape[0]
 
     # strict upper-triangular ones (consume @ tri = exclusive lane prefix)
@@ -130,48 +138,65 @@ def _tile_kernel(
         states, rw, packed = carry
         slot = states & mask_slot
         slot_i = pltpu.bitcast(slot, jnp.int32)
-        k = slot_i >> 5
-        if n_bucket_chunks == 1:
-            c0v = jnp.take_along_axis(c0[0], k, axis=1)
-            bmv = jnp.take_along_axis(bm[0], pltpu.bitcast(k, jnp.uint32), axis=1)
-        else:
-            # dynamic loop over bucket chunks (sublane rows of the table
-            # tile): keeps the body at 2 gathers regardless of B — the
-            # unrolled form at B=15 (16 gathers/step) breaks the compiler
-            kc = k >> 7
-            kw = k & 127
-            kw_u = pltpu.bitcast(kw, jnp.uint32)
-
-            def bchunk(c, carry):
-                c0v, bmv = carry
-                row_c0 = jnp.broadcast_to(c0_ref[0, pl.ds(c, 1), :], (rows, 128)).astype(jnp.int32)
-                row_bm = jnp.broadcast_to(bm_ref[0, pl.ds(c, 1), :], (rows, 128)).astype(jnp.int32)
-                sel = kc == c
-                c0v = jnp.where(sel, jnp.take_along_axis(row_c0, kw, axis=1), c0v)
-                bmv = jnp.where(sel, jnp.take_along_axis(pltpu.bitcast(row_bm, jnp.uint32), kw_u, axis=1), bmv)
-                return c0v, bmv
-
-            c0v, bmv = jax.lax.fori_loop(
-                0,
-                n_bucket_chunks,
-                bchunk,
-                (jnp.zeros((rows, L), jnp.int32), jnp.zeros((rows, L), jnp.uint32)),
-            )
-        # bits 1..(slot&31) of the boundary bitmask; 2<<31 wraps to 0 making
-        # the mask 0xFFFFFFFE, which is exactly bits 1..31
-        m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
-        rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
         if bits <= 12:
+            k = slot_i >> 5
+            c0v = jnp.take_along_axis(c0, k, axis=1)
+            bmv = jnp.take_along_axis(bm, pltpu.bitcast(k, jnp.uint32), axis=1)
+            # bits 1..(slot&31) of the boundary bitmask; 2<<31 wraps to 0
+            # making the mask 0xFFFFFFFE, which is exactly bits 1..31
+            m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
+            rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
             # packed rank table: sym | (freq-1)<<8 | cumul<<20 (one gather)
             v1 = pltpu.bitcast(gather256(t1a, t1b, rank), jnp.uint32)
             sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
             freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
             cum = v1 >> jnp.uint32(20)
         else:
-            v1 = gather256(t1a, t1b, rank)
-            sym = v1 & 0xFF
-            freq = pltpu.bitcast(v1 >> 8, jnp.uint32)
-            cum = pltpu.bitcast(gather256(t2a, t2b, rank), jnp.uint32)
+            k6 = slot_i >> 6
+            j = k6 >> 2
+            cpv = jnp.take_along_axis(pltpu.bitcast(cp, jnp.int32), j, axis=1)
+            cpu_ = pltpu.bitcast(cpv, jnp.uint32)
+            sub = k6 & 3
+            base = cpu_ & jnp.uint32(0x1FF)
+            d = jnp.where(
+                sub == 1,
+                (cpu_ >> jnp.uint32(9)) & jnp.uint32(0x7F),
+                jnp.where(
+                    sub == 2,
+                    (cpu_ >> jnp.uint32(16)) & jnp.uint32(0xFF),
+                    jnp.where(sub == 3, cpu_ >> jnp.uint32(24), jnp.uint32(0)),
+                ),
+            )
+            c0v = pltpu.bitcast(base + d, jnp.int32)
+            kw = k6 & 127
+            kwu = pltpu.bitcast(kw, jnp.uint32)
+            if nc64 == 1:
+                lov = jnp.take_along_axis(bm_lo[0], kwu, axis=1)
+                hiv = jnp.take_along_axis(bm_hi[0], kwu, axis=1)
+            else:
+                kc = k6 >> 7
+                lov = jnp.zeros((rows, L), jnp.uint32)
+                hiv = jnp.zeros((rows, L), jnp.uint32)
+                for c in range(nc64):
+                    sel = kc == c
+                    lov = jnp.where(sel, jnp.take_along_axis(bm_lo[c], kwu, axis=1), lov)
+                    hiv = jnp.where(sel, jnp.take_along_axis(bm_hi[c], kwu, axis=1), hiv)
+            s6 = slot & jnp.uint32(63)
+            in_lo = s6 < jnp.uint32(32)
+            mlo = jnp.where(in_lo, (jnp.uint32(2) << s6) - jnp.uint32(2), jnp.uint32(0xFFFFFFFE))
+            mhi = jnp.where(in_lo, jnp.uint32(0), (jnp.uint32(2) << (s6 & jnp.uint32(31))) - jnp.uint32(1))
+            rank = c0v + pltpu.bitcast(
+                jax.lax.population_count(lov & mlo) + jax.lax.population_count(hiv & mhi),
+                jnp.int32,
+            )
+            fcv = pltpu.bitcast(gather256(t1a, t1b, rank), jnp.uint32)
+            freq = fcv & jnp.uint32(0xFFFF)
+            cum = fcv >> jnp.uint32(16)
+            s4v = jnp.take_along_axis(pltpu.bitcast(sp4, jnp.int32), rank >> 2, axis=1)
+            sym = pltpu.bitcast(
+                (pltpu.bitcast(s4v, jnp.uint32) >> pltpu.bitcast((rank & 3) << 3, jnp.uint32)) & jnp.uint32(0xFF),
+                jnp.int32,
+            )
 
         valid = (base_pos + i) < vlen
         new_states = (states >> jnp.uint32(bits)) * freq + slot - cum
@@ -197,9 +222,9 @@ def _tile_kernel(
         return states, rw, packed
 
     carry = (states_scr[:], rw_scr[:], jnp.zeros((rows, L), jnp.int32))
-    # B>=13 adds 2*n_bucket_chunks gathers per step; unrolling 4 steps of
-    # that crosses the Mosaic compiler's code-size cliff (see tpx_encode.py)
-    states, rw, packed = jax.lax.fori_loop(0, 4, step_fn, carry, unroll=n_bucket_chunks == 1)
+    # flat-rank keeps the step at <= 12 gathers even at B=15; 4x that stays
+    # under the Mosaic code-size cliff for nc64 <= 2 (B<=14)
+    states, rw, packed = jax.lax.fori_loop(0, 4, step_fn, carry, unroll=bits <= 14)
     states_scr[:] = states
     rw_scr[:] = rw
     out_ref[0] = packed
@@ -272,19 +297,30 @@ def mega_dec_tables(freqs: np.ndarray, bits: int) -> tuple[np.ndarray, ...] | No
     n_buckets = (1 << bits) // 32
     out = [np.zeros((n_tiles, 8, 128), np.int32) for _ in range(6)]
     c0, bm, ta, tb, tc, td = out
+    nc64 = max(1, (1 << bits) // 64 // 128)
     for t in range(n_tiles):
         hist = complete_hist(freqs[t], bits)
         if hist is None:
             return None
         rt = make_rank_tables(hist)
-        c0[t].reshape(-1)[:n_buckets] = rt["c0"]
-        bm[t].reshape(-1)[:n_buckets] = rt["bm"]
-        key = "tp" if bits <= 12 else "t1"
-        ta[t, 0] = rt[key][:128]
-        tb[t, 0] = rt[key][128:]
-        if bits > 12:
-            tc[t, 0] = rt["t2"][:128]
-            td[t, 0] = rt["t2"][128:]
+        if bits <= 12:
+            c0[t].reshape(-1)[:n_buckets] = rt["c0"]
+            bm[t].reshape(-1)[:n_buckets] = rt["bm"]
+            ta[t, 0] = rt["tp"][:128]
+            tb[t, 0] = rt["tp"][128:]
+        else:
+            # flat one-level rank stack (kernels/mt64_decode._hb_tables):
+            # [cp, bm_lo x nc, bm_hi x nc, fc_lo, fc_hi, sp4]
+            from .mt64_decode import _hb_tables
+
+            stack = _hb_tables(rt, bits)
+            c0[t, 0] = stack[0]
+            for c in range(nc64):
+                bm[t, c] = stack[1 + c]
+                bm[t, 4 + c] = stack[1 + nc64 + c]
+            ta[t, 0] = stack[1 + 2 * nc64]
+            tb[t, 0] = stack[2 + 2 * nc64]
+            tc[t, 0] = stack[3 + 2 * nc64]
     return tuple(out)
 
 
