@@ -224,6 +224,7 @@ def _tile_kernel(
     carry = (states_scr[:], rw_scr[:], jnp.zeros((rows, L), jnp.int32))
     # flat-rank keeps the step at <= 12 gathers even at B=15; 4x that stays
     # under the Mosaic code-size cliff for nc64 <= 2 (B<=14)
+    # B=15 unrolled (48 gathers x 4 steps) hangs the Mosaic compiler
     states, rw, packed = jax.lax.fori_loop(0, 4, step_fn, carry, unroll=bits <= 14)
     states_scr[:] = states
     rw_scr[:] = rw
