@@ -409,14 +409,26 @@ def main() -> None:
         ),
     ]
     budget_s = float(os.environ.get("HSRANS_BENCH_BUDGET_S", "2400"))
+    # per-step watchdog: a wedged TPU tunnel hangs inside a jax call forever
+    # (observed after over-VMEM compile crashes); convert that into a step
+    # failure so the headline line still prints and later steps get a chance
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("bench step watchdog")
+
+    signal.signal(signal.SIGALRM, _alarm)
     for step in steps:
         if time.time() - t_start > budget_s:
             print("  (bench budget reached; remaining steps skipped)", file=sys.stderr)
             break
         try:
+            signal.alarm(int(os.environ.get("HSRANS_BENCH_STEP_S", "600")))
             step()
         except Exception as e:  # keep the headline even if a step dies
             print(f"  bench step failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+        finally:
+            signal.alarm(0)
 
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(METRICS, f, indent=1)
