@@ -410,25 +410,38 @@ def main() -> None:
     ]
     budget_s = float(os.environ.get("HSRANS_BENCH_BUDGET_S", "2400"))
     # per-step watchdog: a wedged TPU tunnel hangs inside a jax call forever
-    # (observed after over-VMEM compile crashes); convert that into a step
-    # failure so the headline line still prints and later steps get a chance
-    import signal
+    # (observed after over-VMEM compile crashes), and that hang blocks inside
+    # a C extension where a SIGALRM handler may never run.  So each step runs
+    # in a daemon worker thread and the MAIN thread supervises: join with a
+    # timeout, abandon the thread if it never returns, keep printing.
+    import threading
 
-    def _alarm(signum, frame):
-        raise TimeoutError("bench step watchdog")
-
-    signal.signal(signal.SIGALRM, _alarm)
+    step_budget = float(os.environ.get("HSRANS_BENCH_STEP_S", "600"))
     for step in steps:
         if time.time() - t_start > budget_s:
             print("  (bench budget reached; remaining steps skipped)", file=sys.stderr)
             break
-        try:
-            signal.alarm(int(os.environ.get("HSRANS_BENCH_STEP_S", "600")))
-            step()
-        except Exception as e:  # keep the headline even if a step dies
+
+        err: list[BaseException] = []
+
+        def run(step=step, err=err):
+            try:
+                step()
+            except BaseException as e:  # noqa: BLE001 — keep the headline
+                err.append(e)
+
+        w = threading.Thread(target=run, daemon=True)
+        w.start()
+        w.join(step_budget)
+        if w.is_alive():
+            print(
+                f"  bench step abandoned after {step_budget:.0f}s (device tunnel "
+                "likely wedged; thread left behind)",
+                file=sys.stderr,
+            )
+        elif err:
+            e = err[0]
             print(f"  bench step failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-        finally:
-            signal.alarm(0)
 
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(METRICS, f, indent=1)

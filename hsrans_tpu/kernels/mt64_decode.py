@@ -55,6 +55,29 @@ L = 128  # vector lanes per row
 # 100 MiB vmem_limit the practical gate is Mosaic's stack allocator
 import os as _os
 
+def _counterfactual(name: str) -> bool:
+    """Gate for the wrong-output timing counterfactuals (bench diagnostics only).
+
+    HSRANS_WINDOW_TIMING_HACK / HSRANS_NO_MATMUL deliberately corrupt decode
+    output to isolate a cost term; they refuse to engage unless
+    HSRANS_DEV_COUNTERFACTUAL=1 is ALSO set, so a stray env var can't silently
+    poison production decodes.
+    """
+    if _os.environ.get(name) != "1":
+        return False
+    if _os.environ.get("HSRANS_DEV_COUNTERFACTUAL") != "1":
+        raise RuntimeError(
+            f"{name}=1 is a WRONG-OUTPUT timing counterfactual; "
+            "set HSRANS_DEV_COUNTERFACTUAL=1 as well to confirm, or unset it."
+        )
+    print(
+        f"hsrans_tpu: WARNING: {name}=1 — decode output is deliberately WRONG "
+        "(timing counterfactual)",
+        file=__import__("sys").stderr,
+    )
+    return True
+
+
 _STREAM_TILE_BYTES = int(_os.environ.get("HSRANS_STREAM_TILE_MB", "6")) << 20
 _PAIR_TILE_BYTES = int(_os.environ.get("HSRANS_PAIR_TILE_MB", "24")) << 20
 _USE_PAIR_KERNEL = True  # two blocks per row for B<=12 buckets (any rank width)
@@ -633,7 +656,7 @@ def _mt64_pair_kernel(
         half_s = half_c0[sl]
         cmin = jnp.minimum(jnp.min(ca_s), jnp.min(cb_s))
         cmax = jnp.minimum(jnp.maximum(jnp.max(ca_s), jnp.max(cb_s)) + 3, w_chunks)
-        if _os.environ.get("HSRANS_WINDOW_TIMING_HACK") == "1":
+        if _counterfactual("HSRANS_WINDOW_TIMING_HACK"):
             cmax = cmin + 3  # WRONG OUTPUT: counterfactual spread-free scan
 
         def wbody(c, win, half_s=half_s, sl=sl):
@@ -693,7 +716,7 @@ def _mt64_pair_kernel(
         states = (states >> jnp.uint32(bits)) * freq + slot - cum
         consume = states < consume_point
 
-        if _os.environ.get("HSRANS_NO_MATMUL") == "1":
+        if _counterfactual("HSRANS_NO_MATMUL"):
             prefix = consume.astype(jnp.int32)  # WRONG OUTPUT: timing counterfactual
         elif _PREFIX_MXU:
             # s8 x s8 -> s32 runs the MXU at twice the bf16 rate and skips

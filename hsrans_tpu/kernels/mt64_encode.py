@@ -242,7 +242,7 @@ def _encode_size_bucket(
         # O(output chunks x steps scanned) per tile, so 16-step segments
         # with per-segment chunk counts cost ~4x less than one pass over
         # the whole block; the host mux joins the ragged segments.
-        c16 = min(16, seg_steps)
+        c16 = divisor_le(seg_steps, 16)  # largest divisor <= 16, so segs*c16 == steps exactly
         segs = seg_steps // c16
         cnt_seg = jnp.pad(
             jnp.transpose(cnt_steps[:, : seg_steps].reshape(nb_pad, segs, c16), (1, 0, 2)),

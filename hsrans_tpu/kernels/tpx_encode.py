@@ -507,7 +507,7 @@ def tpx_encode_tpu(
         # Segment the concat along the step axis (cost is O(output chunks x
         # steps scanned) per tile — phase B was 73% of encode time); the
         # mega writer joins the ragged per-segment pieces at byte level.
-        c16 = min(16, p.steps)
+        c16 = divisor_le(p.steps, 16)  # largest divisor <= 16, so segs*c16 == steps exactly
         segs = p.steps // c16
         seg_words = counts_steps.reshape(n_tiles, p.rows, segs, c16).sum(axis=3)  # [T, R, S]
         wq_t = np.maximum(1, -(-(-(-seg_words.max(axis=1).reshape(-1)) // 2) // 128))

@@ -225,11 +225,20 @@ uint16_t *encode_span_t(Coder *co, const uint8_t *data, uint64_t start, uint64_t
 }
 
 #if defined(__x86_64__)
-// AVX-512 fast path (defined below; instantiated at end of TU)
+// AVX-512 fast paths (defined below; instantiated at end of TU).  Both
+// early-stop once the read cursor passes `safe_r` (returning the cursor,
+// with *g_done = groups completed) so callers can run them directly on
+// the unpadded wire bytes and only fall back to a copied tail when the
+// cursor nears the end of the stream.
 template <uint32_t N>
-int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stream,
-                             uint64_t nwords, uint64_t r, uint8_t *out,
-                             uint64_t out_pos, uint64_t num_groups);
+uint64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stream,
+                              uint64_t safe_r, uint64_t r, uint8_t *out,
+                              uint64_t out_pos, uint64_t num_groups, uint64_t *g_done);
+template <uint32_t N>
+uint64_t decode_groups_avx512_zmm(Coder *co, const DecTable *t, const uint16_t *stream,
+                                  uint64_t safe_r, uint64_t r, uint8_t *out,
+                                  uint64_t out_pos, uint64_t num_groups, uint64_t *g_done);
+bool avx512vbmi2_ok();
 void blk32_decode_avx512(const DecTable *t, const uint16_t *lanes_buf,
                          const uint8_t *lanes_buf8, const uint32_t *lane_off32,
                          uint32_t *r_io, uint32_t *states, uint8_t *out,
@@ -243,20 +252,58 @@ bool avx512_ok();
 // Decode `num_groups` full groups into out[0..num_groups*N); then, if
 // tail_start < length, the masked partial group.  Returns words consumed,
 // or -1 if the stream would overrun (malformed input).
+// With padded=true, `stream` must have >= 2N+8 words of readable zeroed
+// slack past nwords (mid-renorm overreads land there).  With
+// padded=false, `stream` is the raw wire bytes with NO slack: the vector
+// kernels run directly on it while the cursor stays at least kGuard words
+// clear of the end, then the remaining few words are copied to a small
+// zero-padded thread-local tail and the span finishes there — this
+// removes a full-stream padded memcpy, which measured ~15% of end-to-end
+// decode.
 template <uint32_t N>
 int64_t decode_span_t(Coder *co, const DecTable *t, const uint16_t *stream,
                       uint64_t nwords, uint64_t r, uint8_t *out, uint64_t out_pos,
-                      uint64_t num_groups, uint64_t tail_start, uint64_t length) {
+                      uint64_t num_groups, uint64_t tail_start, uint64_t length,
+                      bool padded = true) {
   constexpr Perm<N> perm;
+  // vector group: <= N words consumed, renorm reads <= 32 bytes at the
+  // cursor, so stopping at nwords - (N + 16) keeps every access in-bounds
+  constexpr uint64_t kGuard = N + 16;
   const uint32_t mask = (1u << t->bits) - 1;
   const uint32_t bits = t->bits;
   uint32_t *st = co->states;
+  uint64_t g_done = 0;
+  if (!padded) {
+#if defined(__x86_64__)
+    const uint64_t safe_r = nwords > kGuard ? nwords - kGuard : 0;
+    if (num_groups >= 4 && r <= safe_r && avx512_ok()) {
+      if (N != 32 && avx512vbmi2_ok())
+        r = decode_groups_avx512_zmm<N>(co, t, stream, safe_r, r, out, out_pos, num_groups, &g_done);
+      else
+        r = decode_groups_avx512<N>(co, t, stream, safe_r, r, out, out_pos, num_groups, &g_done);
+      out_pos += g_done * N;
+      num_groups -= g_done;
+    }
+#endif
+    if (num_groups == 0 && tail_start >= length) return (int64_t)r;
+    static thread_local std::vector<uint16_t> tailbuf;
+    const uint64_t r0 = r < nwords ? r : nwords;
+    const uint64_t twords = nwords - r0;
+    tailbuf.assign(twords + 2ull * N + 8, 0);
+    memcpy(tailbuf.data(), stream + r0, twords * 2);
+    const int64_t sub = decode_span_t<N>(co, t, tailbuf.data(), twords, r - r0, out,
+                                         out_pos, num_groups, tail_start, length, true);
+    return sub < 0 ? -1 : (int64_t)(r0 + (uint64_t)sub);
+  }
 #if defined(__x86_64__)
   if (num_groups >= 4 && avx512_ok()) {
-    const int64_t nr = decode_groups_avx512<N>(co, t, stream, nwords, r, out, out_pos, num_groups);
-    if (nr < 0) return -1;
-    r = (uint64_t)nr;
-    out_pos += num_groups * N;  // unused below; kept for clarity
+    // padded: run to nwords; stopping short of num_groups means the
+    // cursor overran the stream (malformed input)
+    if (N != 32 && avx512vbmi2_ok())
+      r = decode_groups_avx512_zmm<N>(co, t, stream, nwords, r, out, out_pos, num_groups, &g_done);
+    else
+      r = decode_groups_avx512<N>(co, t, stream, nwords, r, out, out_pos, num_groups, &g_done);
+    if (g_done < num_groups) return -1;
     num_groups = 0;
   }
 #endif
@@ -333,11 +380,12 @@ uint16_t *encode_span(Coder *co, const uint8_t *data, uint64_t start, uint64_t e
 
 int64_t decode_span(Coder *co, const DecTable *t, const uint16_t *stream,
                     uint64_t nwords, uint64_t r, uint8_t *out, uint64_t out_pos,
-                    uint64_t num_groups, uint64_t tail_start, uint64_t length) {
+                    uint64_t num_groups, uint64_t tail_start, uint64_t length,
+                    bool padded = true) {
   switch (co->n) {
-    case 16: return decode_span_t<16>(co, t, stream, nwords, r, out, out_pos, num_groups, tail_start, length);
-    case 32: return decode_span_t<32>(co, t, stream, nwords, r, out, out_pos, num_groups, tail_start, length);
-    default: return decode_span_t<64>(co, t, stream, nwords, r, out, out_pos, num_groups, tail_start, length);
+    case 16: return decode_span_t<16>(co, t, stream, nwords, r, out, out_pos, num_groups, tail_start, length, padded);
+    case 32: return decode_span_t<32>(co, t, stream, nwords, r, out, out_pos, num_groups, tail_start, length, padded);
+    default: return decode_span_t<64>(co, t, stream, nwords, r, out, out_pos, num_groups, tail_start, length, padded);
   }
 }
 
@@ -348,14 +396,6 @@ void init_coder(Coder *co, uint32_t n) {
 
 inline void put_u64(uint8_t *p, uint64_t v) { memcpy(p, &v, 8); }
 inline uint64_t get_u64(const uint8_t *p) { uint64_t v; memcpy(&v, p, 8); return v; }
-
-// Padded copy of a blob's u16 word region (decoders may read one group of
-// slack past the end mid-renorm; numpy authority pads identically).
-std::vector<uint16_t> pad_words(const uint8_t *p, uint64_t bytes, uint32_t n) {
-  std::vector<uint16_t> w(bytes / 2 + 2 * n + 4, 0);
-  memcpy(w.data(), p, (bytes / 2) * 2);
-  return w;
-}
 
 }  // namespace
 
@@ -412,13 +452,15 @@ int64_t hsr_raw_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
   memcpy(co.states, blob + 16 + 512, 4ull * n);
 
   const uint64_t off = 16 + 512 + 4ull * n;
-  auto words = pad_words(blob + off, size - off, n);
+  // decode straight off the wire bytes (padded=false): the kernels stop a
+  // guard short of the end and the tail finishes on a small padded copy
+  const uint16_t *stream = (const uint16_t *)(blob + off);
   const uint64_t nwords = (size - off) / 2;
 
   const uint64_t full = length + 1 > n ? (length - n + 1 + n - 1) / n : 0;
   const uint64_t tail_start = full * n;
-  if (decode_span(&co, &t, words.data(), nwords, 0, out, 0, full,
-                  tail_start < length ? tail_start : length, length) < 0)
+  if (decode_span(&co, &t, stream, nwords, 0, out, 0, full,
+                  tail_start < length ? tail_start : length, length, false) < 0)
     return -1;
   return (int64_t)length;
 }
@@ -502,9 +544,8 @@ int64_t hsr_block_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
   Coder co;
   init_coder(&co, n);
   memcpy(co.states, blob + 16, 4ull * n);
-  auto words = pad_words(blob + 16 + 4ull * n, size - 16 - 4ull * n, n);
+  const uint16_t *stream = (const uint16_t *)(blob + 16 + 4ull * n);
   const uint64_t nwords = (size - 16 - 4ull * n) / 2;
-  const uint16_t *stream = words.data();
 
   const uint64_t out_len_states = length + 1 > n ? length - n + 1 : 0;
   DecTable t;
@@ -530,7 +571,7 @@ int64_t hsr_block_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
       if (block_end > out_len_states) block_end = out_len_states;
       else if (block_end & (n - 1)) return -1;
       const uint64_t groups = block_end > i ? (block_end - i + n - 1) / n : 0;
-      const int64_t nr = decode_span(&co, &t, stream, nwords, r, out, i, groups, length, length);
+      const int64_t nr = decode_span(&co, &t, stream, nwords, r, out, i, groups, length, length, false);
       if (nr < 0) return -1;
       r = (uint64_t)nr;
       i += groups * n;
@@ -539,7 +580,7 @@ int64_t hsr_block_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
   }
   if (i < length) {
     if (!have_table) return -1;
-    if (decode_span(&co, &t, stream, nwords, r, out, 0, 0, i, length) < 0) return -1;
+    if (decode_span(&co, &t, stream, nwords, r, out, 0, 0, i, length, false) < 0) return -1;
   }
   return (int64_t)length;
 }
@@ -660,7 +701,7 @@ void mt_block_worker(void *arg) {
     rem = span % b->n;
   }
   int64_t r = decode_span(&co, &t, b->stream, b->nwords, b->word_start, b->out,
-                          b->out_start, groups, b->length, b->length);
+                          b->out_start, groups, b->length, b->length, false);
   if (r < 0) {
     b->fail->store(1);
     return;
@@ -668,7 +709,7 @@ void mt_block_worker(void *arg) {
   if (rem) {
     uint8_t scratch[64];
     r = decode_span(&co, &t, b->stream, b->nwords, (uint64_t)r, scratch, 0, 1,
-                    b->length, b->length);
+                    b->length, b->length, false);
     if (r < 0) {
       b->fail->store(1);
       return;
@@ -678,7 +719,7 @@ void mt_block_worker(void *arg) {
   if (b->is_last && b->out_start + groups * b->n < b->length) {
     // trailing partial lane group belongs to the last coded block's chain
     if (decode_span(&co, &t, b->stream, b->nwords, (uint64_t)r, b->out, 0, 0,
-                    b->out_start + groups * b->n, b->length) < 0)
+                    b->out_start + groups * b->n, b->length, false) < 0)
       b->fail->store(1);
   }
 }
@@ -692,9 +733,8 @@ int64_t hsr_mt_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
   const uint64_t length = get_u64(blob);
   if (get_u64(blob + 8) > size || length > cap) return -1;
   if (length == 0) return 0;
-  auto words = pad_words(blob + 16, size - 16, n);
+  const uint16_t *stream = (const uint16_t *)(blob + 16);
   const uint64_t nwords = (size - 16) / 2;
-  const uint16_t *stream = words.data();
   const uint64_t out_len_states = length + 1 > n ? length - n + 1 : 0;
 
   // header walk (the writeHeadOffset chain) -> independent block tasks
@@ -714,7 +754,7 @@ int64_t hsr_mt_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
       i += bs;
       continue;
     }
-    if (r + 4 + 2ull * n + 256 > nwords + 2ull * n) return -1;
+    if (r + 4 + 2ull * n + 256 > nwords) return -1;  // unpadded stream: headers fully in-bounds
     const uint64_t offset = get_u64((const uint8_t *)(stream + r));
     r += 4;
     const uint64_t states_pos = r;
@@ -943,13 +983,21 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
 
   uint64_t g0 = 0;
 #if defined(__x86_64__)
-  if (avx512_ok() && full >= 8 && tot < 0xFFFF0000ull) {
+  // _mm256_i32gather_epi32 sign-extends its 32-bit indices: off32+rr must
+  // stay in signed-positive i32 range (max index is lane_off+r <= tot), so
+  // payloads where tot would reach 2^31 take the 64-bit-index scalar loop.
+  if (avx512_ok() && full >= 8 && tot + 8 < (1ull << 31)) {
     uint32_t r32[N32], off32[N32];
     for (uint32_t j = 0; j < N32; j++) {
       r32[j] = (uint32_t)r[j];
       off32[j] = (uint32_t)lane_off[j];
     }
     blk32_decode_avx512(&t, lanes16.get(), lanes8.get(), off32, r32, st, out, full, word_bits);
+    // The vector loop carries no per-consume cursor bound; restore the
+    // scalar tier's error contract (reject lane-cursor overrun past
+    // lane_len+slack on malformed input) with one post-pass check.
+    for (uint32_t j = 0; j < N32; j++)
+      if (r32[j] > lane_len[j] + slack) return -1;
     for (uint32_t j = 0; j < N32; j++) r[j] = r32[j];
     g0 = full;
   }
@@ -1003,9 +1051,9 @@ namespace {
 
 template <uint32_t N>
 __attribute__((target("avx2,avx512f,avx512bw,avx512vbmi,avx512vl")))
-int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stream,
-                             uint64_t nwords, uint64_t r, uint8_t *out,
-                             uint64_t out_pos, uint64_t num_groups) {
+uint64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stream,
+                              uint64_t safe_r, uint64_t r, uint8_t *out,
+                              uint64_t out_pos, uint64_t num_groups, uint64_t *g_done) {
   // N/8 independent 8-lane (ymm) chains: the group-to-group critical path
   // is state -> slot -> table gather -> renorm -> state per sub-vector
   // (the shared read cursor only links the cheap popcount adds), and ymm
@@ -1034,11 +1082,9 @@ int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *strea
 
   alignas(64) uint8_t symbuf[64];
   __m256i symq[NV];
-  for (uint64_t g = 0; g < num_groups; g++) {
-    if (r + N > nwords + N) {  // padded slack bounds one group's consumption
-      for (int v = 0; v < NV; v++) _mm256_storeu_si256((__m256i *)(co->states + 8 * v), st[v]);
-      return -1;
-    }
+  uint64_t g = 0;
+  for (; g < num_groups; g++) {
+    if (r > safe_r) break;  // caller handles tail / malformed
     // phase 1: every sub-vector's table gather issues before the renorm
     // chain (slots come from last group's states)
     __m256i slot[NV], pck[NV], symv[NV];
@@ -1089,7 +1135,131 @@ int64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *strea
     }
   }
   for (int v = 0; v < NV; v++) _mm256_storeu_si256((__m256i *)(co->states + 8 * v), st[v]);
-  return (int64_t)r;
+  *g_done = g;
+  return r;
+}
+
+bool avx512vbmi2_ok() {
+  static const bool ok = avx512_ok() && __builtin_cpu_supports("avx512vbmi2") &&
+                         getenv("HSRANS_RAW_KERNEL_YMM") == nullptr;
+  return ok;
+}
+
+// zmm variant: 16-lane state vectors — N/16 slot gathers per group instead
+// of the ymm path's N/8.  The reference's best same-core x64 decoder
+// ("avx512 ymm shfl2" = rANS32x64_16w_decode_avx512fdqbw_varC,
+// rANS32x64_16w.cpp:3674-3900) holds states in zmm for the same reason:
+// the slot gather dominates the group's critical cycle and the gather
+// ports see half the traffic at 16 lanes/fetch; once all NV compare masks
+// resolve, the shared read-cursor walk is only popcount adds.  Where the
+// reference distributes renorm words via its 256-entry shuffle LUTs, this
+// uses one load + vpexpandd per 16 lanes: no LUT cache line, mask order =
+// lane order as the wire demands.  (A vpexpandd *from memory* off a
+// u32-widened stream measured slower end-to-end: the widening pass costs
+// more than the fused load saves.)  Measured on Sapphire Rapids: N=64
+// 2.33 GB/s vs 2.0 ymm / 1.9 reference; N=16 also faster; N=32 slower
+// (two chains can't hide the gather latency), so x32 keeps the ymm path.
+template <uint32_t N, bool kPacked>
+__attribute__((target("avx2,avx512f,avx512bw,avx512vbmi,avx512vbmi2,avx512vl")))
+uint64_t decode_groups_avx512_zmm_t(Coder *co, const DecTable *t, const uint16_t *stream16,
+                                    uint64_t safe_r, uint64_t r, uint8_t *out,
+                                    uint64_t out_pos, uint64_t num_groups, uint64_t *g_done) {
+  constexpr int NV = N / 16;
+  constexpr Perm<N> perm;
+  // After packus(packus(sym0..3)) the byte of state j sits at a fixed
+  // position (packus interleaves per 128-bit lane); one vpermb maps the
+  // packed register straight to wire order (perm.p = idx2idx analog).
+  //   N=64: packed[16*((j%16)/4) + 4*(j/16) + j%4] = sym[j]
+  //   N=32 (packus_epi32 + vpmovwb): packed[8*((j%16)/4) + 4*(j/16) + j%4]
+  //   N=16 (vpmovdb): packed[j]
+  alignas(64) uint8_t pat[64] = {};
+  for (uint32_t j = 0; j < N; j++) {
+    uint32_t pb;
+    if (N == 64) pb = 16 * ((j % 16) / 4) + 4 * (j / 16) + (j % 4);
+    else if (N == 32) pb = 8 * ((j % 16) / 4) + 4 * (j / 16) + (j % 4);
+    else pb = j;
+    pat[perm.p[j]] = (uint8_t)pb;
+  }
+  const __m512i wire_pat = _mm512_load_si512(pat);
+  const __m512i slot_mask = _mm512_set1_epi32((1 << t->bits) - 1);
+  const __m512i lo12 = _mm512_set1_epi32(0xFFF);
+  const __m512i lo16 = _mm512_set1_epi32(0xFFFF);
+  const __m512i lo8 = _mm512_set1_epi32(0xFF);
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i consume_lim = _mm512_set1_epi32((int)kConsumePoint);
+  const int *pk = kPacked ? (const int *)t->pack.data() : nullptr;
+  const int *sym_tab = kPacked ? nullptr : (const int *)t->sym.data();
+  const int *fc_tab = kPacked ? nullptr : (const int *)t->fcsym;
+  const uint32_t bits = t->bits;
+
+  __m512i st[NV];
+  for (int v = 0; v < NV; v++) st[v] = _mm512_loadu_si512(co->states + 16 * v);
+
+  uint64_t g = 0;
+  for (; g < num_groups; g++) {
+    if (r > safe_r) break;  // caller handles tail / malformed
+    __m512i slot[NV], pck[NV], symv[NV], sym[NV];
+    for (int v = 0; v < NV; v++) slot[v] = _mm512_and_si512(st[v], slot_mask);
+    if (kPacked) {
+      for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(slot[v], pk, 4);
+    } else {
+      for (int v = 0; v < NV; v++)
+        symv[v] = _mm512_and_si512(_mm512_i32gather_epi32(slot[v], sym_tab, 1), lo8);
+      for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(symv[v], fc_tab, 4);
+    }
+    __mmask16 k[NV];
+    for (int v = 0; v < NV; v++) {
+      sym[v] = kPacked ? _mm512_and_si512(pck[v], lo8) : symv[v];
+      const __m512i cum = kPacked ? _mm512_and_si512(_mm512_srli_epi32(pck[v], 8), lo12)
+                                  : _mm512_srli_epi32(pck[v], 16);
+      const __m512i freq = kPacked ? _mm512_add_epi32(_mm512_srli_epi32(pck[v], 20), one)
+                                   : _mm512_and_si512(pck[v], lo16);
+      const __m512i s = _mm512_add_epi32(
+          _mm512_sub_epi32(slot[v], cum),
+          _mm512_mullo_epi32(_mm512_srli_epi32(st[v], bits), freq));
+      k[v] = _mm512_cmplt_epu32_mask(s, consume_lim);
+      st[v] = s;
+    }
+    // read-cursor walk: each expand load's address depends only on the
+    // previous popcount adds, so all NV loads issue as soon as the masks
+    // resolve
+    for (int v = 0; v < NV; v++) {
+      const __m512i words = _mm512_cvtepu16_epi32(
+          _mm256_loadu_si256((const __m256i *)(stream16 + r)));
+      const __m512i w = _mm512_maskz_expand_epi32(k[v], words);
+      r += (uint64_t)_mm_popcnt_u32((uint32_t)k[v]);
+      st[v] = _mm512_or_si512(_mm512_mask_slli_epi32(st[v], k[v], st[v], 16), w);
+    }
+    uint8_t *og = out + out_pos + g * N;
+    if constexpr (N == 64) {
+      const __m512i p01 = _mm512_packus_epi32(sym[0], sym[NV > 1 ? 1 : 0]);
+      const __m512i p23 = _mm512_packus_epi32(sym[NV > 2 ? 2 : 0], sym[NV > 3 ? 3 : 0]);
+      const __m512i packedb = _mm512_packus_epi16(p01, p23);
+      _mm512_storeu_si512((__m512i *)og, _mm512_permutexvar_epi8(wire_pat, packedb));
+    } else if constexpr (N == 32) {
+      const __m512i p01 = _mm512_packus_epi32(sym[0], sym[NV > 1 ? 1 : 0]);
+      const __m256i b = _mm512_cvtepi16_epi8(p01);
+      _mm256_storeu_si256((__m256i *)og,
+                          _mm256_permutexvar_epi8(_mm512_castsi512_si256(wire_pat), b));
+    } else {
+      const __m128i b = _mm512_cvtepi32_epi8(sym[0]);
+      _mm_storeu_si128((__m128i *)og, _mm_shuffle_epi8(b, _mm512_castsi512_si128(wire_pat)));
+    }
+  }
+  for (int v = 0; v < NV; v++) _mm512_storeu_si512(co->states + 16 * v, st[v]);
+  *g_done = g;
+  return r;
+}
+
+// runtime table-layout dispatch to the compile-time-specialized kernels
+// (a runtime branch inside the gather loop measured 2.5x slower)
+template <uint32_t N>
+uint64_t decode_groups_avx512_zmm(Coder *co, const DecTable *t, const uint16_t *stream,
+                                  uint64_t safe_r, uint64_t r, uint8_t *out,
+                                  uint64_t out_pos, uint64_t num_groups, uint64_t *g_done) {
+  return t->packed
+             ? decode_groups_avx512_zmm_t<N, true>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done)
+             : decode_groups_avx512_zmm_t<N, false>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done);
 }
 
 // 32blk encode: emissions scatter to a [slot, lane] SOA scratch (each

@@ -11,7 +11,15 @@ there).  This is the reviewer-facing replacement for quoting the
 reference README's 7950X numbers: every comparison row is measured on
 this core, minutes apart (reference bench loop: main.cpp:743-899).
 
-Usage: python tools/bench_ref.py [corpus] [--bits 10,12,15] [--quick]
+Measurement discipline (round-4 hardening): ours and the reference run
+**A/B-interleaved** — `--rounds N` (default 3) alternating rounds, each
+round measuring every family on both sides, best-of over rounds on each
+side — so one noisy scheduling window cannot silently poison one side of
+a pair.  Every row carries `ours_spread` / `ref_spread` (max/min - 1
+across rounds); rows where either side moved > 20% are flagged
+`"noisy": true` and should not be quoted as evidence.
+
+Usage: python tools/bench_ref.py [corpus] [--bits 10,12,15] [--quick] [--rounds 3]
 """
 
 from __future__ import annotations
@@ -57,21 +65,14 @@ _ROW = re.compile(
 )
 
 
-def run_reference(exe: Path, corpus: Path, bits: int, families: str, runs: int = 2) -> dict:
-    """Run the reference binary; returns {codec: {"encode": (mib, ratio),
-    "decode": mib_best, "decode_mt": mib, "decode_impl": name}}."""
+def run_reference(exe: Path, corpus: Path, bits: int, runs: int = 2) -> dict:
+    """Run the reference binary over EVERY codec family at this B; returns
+    {codec: {"encode": (mib, ratio), "decode": mib_best, "decode_mt": mib,
+    "decode_impl": name}}.  One invocation covers raw x16/x32/x64, block,
+    mt and both 32blk widths (`--include-*` with no excludes)."""
     flags = [str(corpus), "--hist-min", str(bits), "--hist-max", str(bits),
-             "--runs", str(runs), "--no-sleep"]
-    if families == "32blk":
-        # 32blk names carry both "(raw)" and "32x32" (main.cpp:223-228), so
-        # they need --include-raw and must not be caught by --exclude-32
-        flags += ["--include-32blk", "--include-raw", "--exclude-16", "--exclude-64", "--exclude-block"]
-    else:
-        flags += ["--exclude-16", "--exclude-32"]
-        if "raw" in families:
-            flags.append("--include-raw")
-        if "mt" in families:
-            flags.append("--include-mt")
+             "--runs", str(runs), "--no-sleep",
+             "--include-raw", "--include-mt", "--include-32blk"]
     p = subprocess.run([str(exe), *flags], capture_output=True, text=True, timeout=1800)
     out: dict[str, dict] = {}
     codec = None
@@ -102,7 +103,7 @@ def run_reference(exe: Path, corpus: Path, bits: int, families: str, runs: int =
     return out
 
 
-def _best(fn, *a, reps=4):
+def _best(fn, *a, reps=3):
     out, t = None, 9e9
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -111,7 +112,7 @@ def _best(fn, *a, reps=4):
     return out, t
 
 
-def run_ours(corpus: np.ndarray, bits: int, families: str) -> dict:
+def run_ours(corpus: np.ndarray, bits: int, families: str, reps: int = 3) -> dict:
     from hsrans_tpu.runtime import native
 
     if native.load() is None:
@@ -124,11 +125,11 @@ def run_ours(corpus: np.ndarray, bits: int, families: str) -> dict:
     ebuf = np.zeros(corpus.size + (corpus.size >> 2) + (1 << 20), np.uint8)
 
     def pair(family, enc_fn, dec_fn, enc_n=64, *dec_extra):
-        esz, te = _best(lambda: native.codec_call_len(enc_fn, corpus, ebuf, bits, enc_n))
+        esz, te = _best(lambda: native.codec_call_len(enc_fn, corpus, ebuf, bits, enc_n), reps=reps)
         if esz < 0:
             return None
         blob = np.ascontiguousarray(ebuf[:esz])
-        _, td = _best(lambda: native.codec_call_len(dec_fn, blob, obuf, bits, enc_n, *dec_extra))
+        _, td = _best(lambda: native.codec_call_len(dec_fn, blob, obuf, bits, enc_n, *dec_extra), reps=reps)
         out[family] = {
             "encode": (mb / te, esz / corpus.size * 100),
             "decode": mb / td,
@@ -137,21 +138,25 @@ def run_ours(corpus: np.ndarray, bits: int, families: str) -> dict:
 
     if "raw" in families:
         pair("raw_x64", "hsr_raw_encode", "hsr_raw_decode")
+        pair("raw_x32", "hsr_raw_encode", "hsr_raw_decode", 32)
+        pair("raw_x16", "hsr_raw_encode", "hsr_raw_decode", 16)
     if "block" in families:
         pair("block_x64", "hsr_block_encode", "hsr_block_decode")
     if "mt" in families:
         blob = pair("mt_x64", "hsr_mt_encode", "hsr_mt_decode", 64, 1)
         if blob is not None:
-            _, tmt = _best(lambda: native.codec_call_len("hsr_mt_decode", blob, obuf, bits, 64, 0))
+            _, tmt = _best(lambda: native.codec_call_len("hsr_mt_decode", blob, obuf, bits, 64, 0), reps=reps)
             out["mt_x64"]["decode_mt"] = mb / tmt
     if "32blk" in families:
         for wb in (16, 8):
-            blob = pair(f"blk32_{wb}w", "hsr_blk32_encode", "hsr_blk32_decode", wb)
+            pair(f"blk32_{wb}w", "hsr_blk32_encode", "hsr_blk32_decode", wb)
     return out
 
 
 REF_NAME = {
     "raw_x64": "rANS32x64 16w (raw)",
+    "raw_x32": "rANS32x32 16w (raw)",
+    "raw_x16": "rANS32x16 16w (raw)",
     "block_x64": "rANS32x64 16w (variable block size)",
     "mt_x64": "rANS32x64 16w (independent blocks)",
     "blk32_16w": "rANS32x32 32blk 16w (raw)",
@@ -159,23 +164,62 @@ REF_NAME = {
 }
 
 
-def head_to_head(corpus_path: Path, bits_list=(10, 12, 15), families="raw block mt 32blk", runs=2) -> list[dict]:
+def _merge_rounds(per_round: list[dict]) -> dict:
+    """Fold per-round {family: {op: val}} dicts into
+    {family: {op: (best, spread)}} (encode values are (mib, ratio) tuples)."""
+    merged: dict[str, dict] = {}
+    for fam in {f for r in per_round for f in r}:
+        ops: dict[str, tuple] = {}
+        fam_rounds = [r[fam] for r in per_round if fam in r]
+        for op in ("encode", "decode", "decode_mt"):
+            vals, extras = [], []
+            for fr in fam_rounds:
+                if op not in fr:
+                    continue
+                v = fr[op]
+                if isinstance(v, tuple):
+                    vals.append(v[0])
+                    extras.append(v[1])
+                else:
+                    vals.append(v)
+            if not vals:
+                continue
+            spread = max(vals) / min(vals) - 1 if min(vals) > 0 else 0.0
+            ops[op] = (max(vals), spread, extras[0] if extras else None)
+        for fr in fam_rounds:
+            if "decode_impl" in fr:
+                ops["decode_impl"] = fr["decode_impl"]
+                break
+        merged[fam] = ops
+    return merged
+
+
+def head_to_head(corpus_path: Path, bits_list=(10, 12, 15), families="raw block mt 32blk",
+                 runs=2, rounds=3) -> list[dict]:
+    """A/B-interleaved pairing: each of `rounds` rounds measures ours then
+    the reference (all families, same B), so a noisy scheduling window hits
+    both sides of a pair, not one.  Per-side value = best over rounds;
+    per-side spread across rounds is recorded and rows with > 20% movement
+    on either side are flagged `noisy`."""
     exe = build_reference()
     corpus = np.fromfile(corpus_path, np.uint8)
     rows: list[dict] = []
     for bits in bits_list:
-        ref = run_reference(exe, corpus_path, bits, families, runs) if exe else {}
-        if exe and "32blk" in families:
-            ref.update(run_reference(exe, corpus_path, bits, "32blk", runs))
-        ours = run_ours(corpus, bits, families)
-        for fam, o in ours.items():
+        ours_rounds: list[dict] = []
+        ref_rounds: list[dict] = []
+        for _ in range(rounds):
+            ours_rounds.append(run_ours(corpus, bits, families, reps=max(2, 6 // rounds)))
+            if exe:
+                ref_rounds.append(run_reference(exe, corpus_path, bits, runs))
+        ours = _merge_rounds(ours_rounds)
+        ref = _merge_rounds(ref_rounds)
+        for fam, o in sorted(ours.items()):
             r = ref.get(REF_NAME[fam], {})
             for op in ("encode", "decode", "decode_mt"):
                 if op not in o:
                     continue
-                ov = o[op][0] if op == "encode" else o[op]
-                rv = r.get(op)
-                rv = rv[0] if isinstance(rv, tuple) else rv
+                ov, ospread, oratio = o[op]
+                rv, rspread, rratio = r.get(op, (None, None, None))
                 row = {
                     "family": fam,
                     "bits": bits,
@@ -183,11 +227,15 @@ def head_to_head(corpus_path: Path, bits_list=(10, 12, 15), families="raw block 
                     "ours_mib_s": round(ov, 1),
                     "ref_mib_s": round(rv, 1) if rv else None,
                     "vs_ref": round(ov / rv, 3) if rv else None,
+                    "ours_spread": round(ospread, 3),
+                    "ref_spread": round(rspread, 3) if rspread is not None else None,
                 }
+                if ospread > 0.2 or (rspread is not None and rspread > 0.2):
+                    row["noisy"] = True
                 if op == "encode":
-                    row["ours_ratio_pct"] = round(o[op][1], 2)
-                    if "encode" in r:
-                        row["ref_ratio_pct"] = round(r["encode"][1], 2)
+                    row["ours_ratio_pct"] = round(oratio, 2)
+                    if rratio is not None:
+                        row["ref_ratio_pct"] = round(rratio, 2)
                 if op == "decode" and "decode_impl" in r:
                     row["ref_impl"] = r["decode_impl"]
                 rows.append(row)
@@ -198,18 +246,26 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     corpus = Path(args[0]) if args else REPO / "tests" / "corpus" / "corpus.bin"
     bits_list = (12,) if "--quick" in sys.argv else (10, 12, 15)
+    rounds = 3
     for a in sys.argv[1:]:
         if a.startswith("--bits"):
             bits_list = tuple(int(b) for b in a.split("=", 1)[1].split(","))
-    rows = head_to_head(corpus, bits_list)
+        if a.startswith("--rounds"):
+            rounds = int(a.split("=", 1)[1])
+    rows = head_to_head(corpus, bits_list, rounds=rounds)
     with open(REPO / "BENCH_REF.json", "w") as f:
-        json.dump({"corpus": str(corpus), "host": os.uname().nodename, "rows": rows}, f, indent=1)
-    hdr = f"{'family':<10} {'B':>2} {'op':<9} {'ours MiB/s':>11} {'ref MiB/s':>10} {'vs ref':>7}"
+        json.dump({"corpus": str(corpus), "host": os.uname().nodename,
+                   "rounds": rounds, "rows": rows}, f, indent=1)
+    hdr = (f"{'family':<10} {'B':>2} {'op':<9} {'ours MiB/s':>11} {'ref MiB/s':>10} "
+           f"{'vs ref':>7} {'spread o/r':>11}")
     print(hdr)
     for r in rows:
+        sp = f"{r['ours_spread']:.2f}/{r['ref_spread'] if r['ref_spread'] is not None else '-'}"
+        noisy = " NOISY" if r.get("noisy") else ""
         print(
             f"{r['family']:<10} {r['bits']:>2} {r['op']:<9} {r['ours_mib_s']:>11} "
-            f"{r['ref_mib_s'] if r['ref_mib_s'] else '-':>10} {r['vs_ref'] if r['vs_ref'] else '-':>7}"
+            f"{r['ref_mib_s'] if r['ref_mib_s'] else '-':>10} "
+            f"{r['vs_ref'] if r['vs_ref'] else '-':>7} {sp:>11}{noisy}"
         )
 
 
