@@ -67,5 +67,51 @@ def main(out_path: str) -> None:
     print(f"wrote {out_path}: {len(out)} bytes")
 
 
+def make_xray(out_path: str, side: int = 2048) -> None:
+    """Deterministic x-ray-like corpus (tests/corpus/xray.bin).
+
+    The reference's headline mt numbers are set on `x-ray` (a 16-bit
+    grayscale radiograph, ~80% ratio at B10, README.md:78-125/182): smooth
+    anatomy + sensor noise in the low byte, very low-entropy high byte,
+    black collimator borders that become RLE/single-symbol blocks.  This
+    synthesizes the same structural character without shipping medical
+    data: 14-bit smooth field + blob "bones" + Poisson-ish noise, stored
+    little-endian u16, with zeroed borders.  Measured mt ratios 0.767-0.770
+    at B10-B15 (x-ray: 0.80).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(20260817)
+    y, x = np.mgrid[0:side, 0:side].astype(np.float32)
+    cy, cx = side / 2, side / 2
+    r2 = ((y - cy) ** 2 + (x - cx) ** 2) / (side / 2) ** 2
+    img = 3600.0 * np.exp(-1.8 * r2)  # beam vignette (14-bit scale)
+    # smooth "anatomy": a few dozen soft elliptical blobs
+    for _ in range(40):
+        by, bx = rng.uniform(0.15 * side, 0.85 * side, 2)
+        sy, sx = rng.uniform(0.02 * side, 0.22 * side, 2)
+        amp = rng.uniform(600, 3600)
+        img += amp * np.exp(-(((y - by) / sy) ** 2 + ((x - bx) / sx) ** 2))
+    # sensor noise ~ sqrt(signal) (Poisson-like), plus read noise; scaled so
+    # the mt ratio lands near the real x-ray's ~0.80 (README.md:182) rather
+    # than flattering decode with an easier stream
+    img += rng.normal(0.0, 1.0, img.shape).astype(np.float32) * (np.sqrt(img + 64.0) * 5.2 + 24.0)
+    img = np.clip(img, 0, 16383).astype(np.uint16)
+    # collimator borders: hard zeros (long RLE runs for the planners)
+    m = side // 16
+    img[:m, :] = 0
+    img[-m:, :] = 0
+    img[:, : m // 2] = 0
+    img[:, -m // 2 :] = 0
+    data = img.astype("<u2").tobytes()
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(data)
+    print(f"wrote {out_path}: {len(data)} bytes")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "tests/corpus/corpus.bin")
+    if len(sys.argv) > 1 and sys.argv[1] == "xray":
+        make_xray(sys.argv[2] if len(sys.argv) > 2 else "tests/corpus/xray.bin")
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "tests/corpus/corpus.bin")
