@@ -401,7 +401,9 @@ def decode_bucket(
     n: int = N,
 ) -> np.ndarray | None:
     """Decode one uniform-size bucket of coded blocks; [nb_pad, size] bytes."""
-    n_dev = mesh.shape[axis] if mesh is not None else 1
+    from ..parallel.sharded import axis_size
+
+    n_dev = axis_size(mesh, axis)
     built = build_bucket_arrays(kernel_blocks, w_counts, stream, bits, n_dev, n)
     if built is None:
         return None
@@ -449,7 +451,7 @@ def mt64_decode_tpu(
     bits: int,
     interpret: bool = False,
     mesh=None,
-    axis: str = "dp",
+    axis: str | tuple[str, ...] = "dp",
     n: int = 64,
 ) -> bytes | None:
     """Decode an mt_rANS32xN 16w blob (n in {32, 64}) on the TPU, any B
@@ -619,6 +621,7 @@ def _mt64_pair_kernel(
     bits: int,
     small_rank: bool,
     s4c_slice: int,
+    rank64: bool = False,
 ):
     s4 = pl.program_id(1)
 
@@ -633,6 +636,12 @@ def _mt64_pair_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
     is_b = lane >= 64
+    hi64 = lane & 64
+    # bits <= 11 -> <= 64 rank buckets per block, so build_pair_arrays packs
+    # B's c0/bm tables into lanes 64.. of the A operands and ONE gather with
+    # index k|hi64 replaces gather(A)+gather(B)+select; rank64 does the same
+    # for the rank table when both blocks have <= 64 nonzero symbols.
+    merged_cb = bits <= 11
 
     # 3 half-chunk window per half: one invocation consumes <= 4 steps x
     # 64 words = 128 slots per half; base-aligned to 64 slots -> max
@@ -697,18 +706,26 @@ def _mt64_pair_kernel(
         states, rw, acc = carry
         slot = states & mask_slot
         k = pltpu.bitcast(slot, jnp.int32) >> 5
-        ku = pltpu.bitcast(k, jnp.uint32)
-        c0v = jnp.where(is_b, jnp.take_along_axis(c0b, k, axis=1), jnp.take_along_axis(c0a, k, axis=1))
-        bmv = jnp.where(is_b, jnp.take_along_axis(bmb, ku, axis=1), jnp.take_along_axis(bma, ku, axis=1))
+        if merged_cb:
+            kk = k | hi64
+            c0v = jnp.take_along_axis(c0a, kk, axis=1)
+            bmv = jnp.take_along_axis(bma, pltpu.bitcast(kk, jnp.uint32), axis=1)
+        else:
+            ku = pltpu.bitcast(k, jnp.uint32)
+            c0v = jnp.where(is_b, jnp.take_along_axis(c0b, k, axis=1), jnp.take_along_axis(c0a, k, axis=1))
+            bmv = jnp.where(is_b, jnp.take_along_axis(bmb, ku, axis=1), jnp.take_along_axis(bma, ku, axis=1))
         m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
         rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
-        if small_rank:
+        if rank64:
+            v1 = pltpu.bitcast(jnp.take_along_axis(tpa, rank | hi64, axis=1), jnp.uint32)
+        elif small_rank:
             v1a = jnp.take_along_axis(tpa, rank, axis=1)
             v1b = jnp.take_along_axis(tpb, rank, axis=1)
+            v1 = pltpu.bitcast(jnp.where(is_b, v1b, v1a), jnp.uint32)
         else:
             v1a = gather256(tpa, tpa_hi, rank)
             v1b = gather256(tpb, tpb_hi, rank)
-        v1 = pltpu.bitcast(jnp.where(is_b, v1b, v1a), jnp.uint32)
+            v1 = pltpu.bitcast(jnp.where(is_b, v1b, v1a), jnp.uint32)
         sym = pltpu.bitcast(v1 & jnp.uint32(0xFF), jnp.int32)
         freq = ((v1 >> jnp.uint32(8)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
         cum = v1 >> jnp.uint32(20)
@@ -776,12 +793,13 @@ def _tri_pair_operand():
     return _TRI_PAIR
 
 
-def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw, *, g_rows, n_groups, s4c_slice, w_chunks, bits, small_rank, interpret):
+def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw, *, g_rows, n_groups, s4c_slice, w_chunks, bits, small_rank, interpret, rank64=False):
     """One time slice of the paired decode: s4c_slice invocations per group,
     states/cursors in and out (so the driver can regroup rows between
     slices)."""
     kernel = functools.partial(
-        _mt64_pair_kernel, g_rows=g_rows, bits=bits, small_rank=small_rank, s4c_slice=s4c_slice
+        _mt64_pair_kernel, g_rows=g_rows, bits=bits, small_rank=small_rank,
+        s4c_slice=s4c_slice, rank64=rank64,
     )
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
     npad = n_groups * g_rows
@@ -822,8 +840,8 @@ def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, stat
 _SLICE_S4 = int(_os.environ.get("HSRANS_SLICE_S4", "1000000"))
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret"))
-def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False):
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret", "rank64"))
+def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False, rank64=False):
     """Time-sliced paired decode with cursor regrouping.
 
     Rows of one bucket drift apart in stream position as they decode
@@ -841,7 +859,7 @@ def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *,
     perm = jnp.arange(npad, dtype=jnp.int32)
     n_slices = -(-s4c // _SLICE_S4)
     outs = []
-    kw = dict(g_rows=g_rows, n_groups=n_groups, w_chunks=w_chunks, bits=bits, small_rank=small_rank, interpret=interpret)
+    kw = dict(g_rows=g_rows, n_groups=n_groups, w_chunks=w_chunks, bits=bits, small_rank=small_rank, interpret=interpret, rank64=rank64)
     for t in range(n_slices):
         if t > 0 and n_slices > 1 and npad > g_rows:
             order = jnp.argsort(rw[:, 0])
@@ -903,6 +921,11 @@ def build_pair_arrays(
     stream_cm = np.zeros((w_chunks, npad, 128), np.uint32)
     n_buckets = (1 << bits) // 32
     small_rank = all(int(np.count_nonzero(b.freq)) <= 128 for b in kernel_blocks[:nbp])
+    # bits <= 11: both blocks' c0/bm tables fit one 128-lane operand (<= 64
+    # buckets each); <= 64 nonzero symbols per block additionally merges the
+    # rank tables.  Halves the table gathers per step (see _mt64_pair_kernel).
+    merged_cb = bits <= 11
+    rank64 = merged_cb and all(int(np.count_nonzero(b.freq)) <= 64 for b in kernel_blocks[:nbp])
     for i in range(nbp):
         b = kernel_blocks[i]
         hist = complete_hist(b.freq, bits)
@@ -914,6 +937,11 @@ def build_pair_arrays(
         (bmb if hi else bma)[p, :n_buckets] = rt["bm"]
         (tpb if hi else tpa)[p] = rt["tp"][:128]
         (tpb_hi if hi else tpa_hi)[p] = rt["tp"][128:]
+        if merged_cb and hi:
+            c0a[p, 64 : 64 + n_buckets] = rt["c0"]
+            bma[p, 64 : 64 + n_buckets] = rt["bm"]
+        if rank64 and hi:
+            tpa[p, 64:128] = rt["tp"][:64]
         words = stream[b.word_start : b.word_start + w_counts[i]].astype(np.uint32)
         if words.size & 1:
             words = np.concatenate([words, np.zeros(1, np.uint32)])
@@ -925,7 +953,7 @@ def build_pair_arrays(
     arrs = [c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream_cm.view(np.int32), init]
     kw = dict(
         g_rows=g_rows, n_groups=npad // g_rows // n_dev, s4c=size0 // 256,
-        w_chunks=w_chunks, bits=bits, small_rank=small_rank,
+        w_chunks=w_chunks, bits=bits, small_rank=small_rank, rank64=rank64,
     )
     return arrs, kw
 
@@ -937,7 +965,7 @@ def decode_bucket_paired(
     bits: int,
     interpret: bool,
     mesh=None,
-    axis: str = "dp",
+    axis: str | tuple[str, ...] = "dp",
 ) -> np.ndarray | None:
     """Decode an even-count bucket two blocks per row; returns
     [nbp, size] bytes for the paired prefix of the bucket.  B<=12 buckets
@@ -961,7 +989,9 @@ def decode_bucket_paired(
             out[2 * p] = a
             out[2 * p + 1] = b
         return out
-    n_dev = mesh.shape[axis] if mesh is not None else 1
+    from ..parallel.sharded import axis_size
+
+    n_dev = axis_size(mesh, axis)
     built = build_pair_arrays(kernel_blocks, w_counts, stream, bits, n_dev)
     if built is None:
         return None
@@ -977,7 +1007,7 @@ def decode_bucket_paired(
         kwc = dict(
             g_rows=kw["g_rows"], n_groups=kw["n_groups"], s4c_slice=kw["s4c"],
             w_chunks=kw["w_chunks"], bits=bits, small_rank=kw["small_rank"],
-            interpret=interpret,
+            rank64=kw["rank64"], interpret=interpret,
         )
         fn = jax.shard_map(
             lambda *a: _pairs_slice_call(*a, **kwc)[0],
@@ -1199,8 +1229,10 @@ def _mt64_pair_kernel_v2(
     out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret"))
-def _decode_pairs_v2(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False):
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret", "rank64"))
+def _decode_pairs_v2(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False, rank64=False):
+    # rank64 accepted for kw-compatibility; v2 reads the intact c0b/tpb
+    # operands, so the merged upper lanes don't affect it
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, c: (g, 0), memory_space=pltpu.VMEM)
     ca = 2 * w_chunks
     ann = pl.pallas_call(

@@ -32,6 +32,24 @@ from ..ops.raw_jax import decode_section, encode_section
 from ..rans import DECODE_CONSUME_POINT_16, IDX2IDX, INV_IDX2IDX
 
 
+def axis_size(mesh, axis) -> int:
+    """Total devices across one mesh axis name or a tuple of names.
+
+    A tuple (e.g. ("dcn", "ici")) shards the leading block axis over both
+    axes, outer name slowest-varying: megablock GROUPS land on "dcn" (the
+    multi-host interconnect) and the rows within a group on "ici" — the
+    ordered output gather then crosses ici within each host before one
+    dcn-level concat, matching SURVEY §2.4's comm-layer design.
+    """
+    if axis is None or mesh is None:
+        return 1
+    if isinstance(axis, str):
+        return mesh.shape[axis]
+    import math
+
+    return math.prod(mesh.shape[a] for a in axis)
+
+
 @dataclass
 class BatchedBlocks:
     """Host-side SoA view of the coded blocks of an mt blob."""
@@ -102,7 +120,7 @@ def mt_decode_device(
     bits: int,
     n: int,
     mesh: jax.sharding.Mesh | None = None,
-    axis: str = "dp",
+    axis: str | tuple[str, ...] = "dp",
 ) -> bytes | None:
     """Decode an mt blob with all coded blocks batched on device.
 
@@ -141,7 +159,7 @@ def mt_decode_device(
     out = np.zeros(length, dtype=np.uint8)
 
     if bb is not None:
-        n_dev = mesh.shape[axis] if mesh is not None else 1
+        n_dev = axis_size(mesh, axis)
         bbp, B = _pad_batch(bb, n_dev)
         syms = _decode_batched(
             jnp.asarray(bbp.states),
@@ -263,7 +281,7 @@ def mt_encode_device(
     bits: int,
     n: int,
     mesh: jax.sharding.Mesh | None = None,
-    axis: str = "dp",
+    axis: str | tuple[str, ...] = "dp",
     plan: list[BlockPlan] | None = None,
     uniform_block: int | None = None,
 ) -> bytes:
@@ -284,7 +302,7 @@ def mt_encode_device(
             parts[k] = (row.size | (1 << 63) | (row.symbol << 54)).to_bytes(8, "little")
 
     if coded:
-        n_dev = mesh.shape[axis] if mesh is not None else 1
+        n_dev = axis_size(mesh, axis)
         B = len(coded)
         s_max = max(-(-row.size // n) for _, row in coded)
         pad_b = (-B) % n_dev

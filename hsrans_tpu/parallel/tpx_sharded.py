@@ -74,7 +74,7 @@ def _decode_sharded(vlens, c0, bm, t1a, t1b, t2a, t2b, stream, states, *, rows, 
 def tpx_decode_device(
     blob: bytes | np.ndarray,
     mesh: jax.sharding.Mesh | None = None,
-    axis: str = "dp",
+    axis: str | tuple[str, ...] = "dp",
     interpret: bool = False,
 ) -> bytes | None:
     """Decode a tpx blob with full megablocks sharded across the mesh."""
@@ -85,7 +85,9 @@ def tpx_decode_device(
     if p.lanes != 128 or p.steps % 4 or (1 << p.bits) // 32 > 1024:
         return None
     out = np.zeros(length, dtype=np.uint8)
-    n_dev = mesh.shape[axis] if mesh is not None else 1
+    from .sharded import axis_size
+
+    n_dev = axis_size(mesh, axis)
 
     full = [m for m in megas if m.n_tiles == p.tiles]
     rest = [m for m in megas if m.n_tiles != p.tiles]
@@ -180,7 +182,7 @@ def tpx_encode_device(
     bits: int = 12,
     p: TpxParams | None = None,
     mesh: jax.sharding.Mesh | None = None,
-    axis: str = "dp",
+    axis: str | tuple[str, ...] = "dp",
     interpret: bool = False,
 ) -> bytes:
     """Mesh-sharded tpx encode; bit-identical to ops.tpx.tpx_encode.
@@ -196,7 +198,9 @@ def tpx_encode_device(
     length = arr.size
     s4c = p.steps // 4
     wcap = -(-(p.steps * p.lanes // 2) // 128) * 128
-    n_dev = mesh.shape[axis] if mesh is not None else 1
+    from .sharded import axis_size
+
+    n_dev = axis_size(mesh, axis)
 
     n_full = length // p.mega_bytes
     out = tpx_header(length, p)

@@ -178,6 +178,32 @@ def test_mt64_kernel_low_bits(bits):
     assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
 
 
+@pytest.mark.parametrize("bits", (10, 11))
+def test_mt64_kernel_rank64_small_alphabet(bits):
+    """<= 64 distinct symbols per block at bits <= 11 engages the fully
+    merged table layout (rank64): one gather serves both paired blocks'
+    c0/bm AND rank tables (build_pair_arrays packs B into lanes 64..)."""
+    from hsrans_tpu.kernels.mt64_decode import (
+        block_index,
+        block_word_counts,
+        build_pair_arrays,
+    )
+
+    rng = np.random.default_rng(23)
+    # 48-symbol zipf alphabet -> every block has <= 64 nonzero freqs
+    ranks = rng.zipf(1.3, 150_000)
+    data = ((ranks - 1) % 48).astype(np.uint8) * 5
+    blob = _blob(data, 4096, bits=bits)
+    _, stream, blocks = block_index(blob, 64)
+    coded = [b for b in blocks if not b.is_single][:-1]
+    assert len(coded) >= 2
+    wc = block_word_counts(blocks, coded, stream)
+    nbp = len(coded) // 2 * 2
+    built = build_pair_arrays(coded[:nbp], wc[:nbp], stream, bits, 1)
+    assert built is not None and built[1]["rank64"], "rank64 layout should engage"
+    assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
+
+
 @pytest.mark.parametrize("bits", (12, 13))
 def test_mt_kernel_n32(bits):
     """n=32 blobs on the same kernel: 16 steps x 32 lanes per grid step."""
