@@ -498,7 +498,7 @@ def mt64_decode_tpu(
         idxs = sorted(idxs, key=lambda i: w_all[i])
         blk = [kernel_blocks[i] for i in idxs]
         wc = [w_all[i] for i in idxs]
-        if _USE_PAIR_KERNEL and n == 64 and len(idxs) >= 2 and (mesh is None or bits <= 12):
+        if _USE_PAIR_KERNEL and n == 64 and len(idxs) >= 2:
             # two blocks per 128-lane row (the step is latency-bound on its
             # gather chain; sharing window/pack/matmul across a pair cuts
             # gathers per byte ~1.4x); odd leftover joins the single path
@@ -971,13 +971,40 @@ def decode_bucket_paired(
     [nbp, size] bytes for the paired prefix of the bucket.  B<=12 buckets
     use the packed-rank pair kernel; B=13..15 the flat-rank variant."""
     if bits > 12:
-        built = build_pair_arrays_hb(kernel_blocks, w_counts, stream, bits)
+        from ..parallel.sharded import axis_size
+
+        n_dev_hb = axis_size(mesh, axis)
+        built = build_pair_arrays_hb(kernel_blocks, w_counts, stream, bits, n_dev_hb)
         if built is None:
             return None
         arrs, kw = built
         size0 = kernel_blocks[0].size
-        slices = _decode_pairs_hb(*[jnp.asarray(a) for a in arrs], **kw, interpret=interpret)
         npad = arrs[0].shape[1]
+        if mesh is not None:
+            # high-B pairs shard like the B<=12 path: row GROUPS split over
+            # the mesh axis (tables/streams travel with their rows; ordered
+            # gather at the shard_map boundary)
+            from jax.sharding import PartitionSpec as P
+
+            kwc = dict(
+                g_rows=kw["g_rows"], n_groups=kw["n_groups"] // n_dev_hb,
+                s4c=kw["s4c"], w_chunks=kw["w_chunks"], bits=bits,
+                interpret=interpret,
+            )
+            fn = jax.shard_map(
+                lambda *a: _pairs_hb_call(*a, **kwc)[0],
+                mesh=mesh,
+                in_specs=(P(None, axis), P(None, axis), P(None, axis), P(axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            out_dev = fn(
+                jnp.asarray(arrs[0]), jnp.asarray(arrs[1]), jnp.asarray(arrs[2]),
+                jnp.asarray(arrs[3]), jnp.zeros((npad, 128), jnp.int32),
+            )
+            slices = [(out_dev, jnp.arange(npad, dtype=jnp.int32))]
+        else:
+            slices = _decode_pairs_hb(*[jnp.asarray(a) for a in arrs], **kw, interpret=interpret)
         out = np.empty((npad * 2, size0), np.uint8)
         for out_t, perm_t in slices:
             o = np.asarray(out_t)
@@ -1484,14 +1511,14 @@ def _mt64_pair_kernel_hb(
     out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "interpret"))
-def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, interpret=False):
-    """Paired decode for B=13..15 (no slicing: high-B buckets are few-row)."""
+def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_chunks, bits, interpret=False):
+    """The B>12 paired pallas_call over n_groups row groups (the unit a
+    shard_map shards: each device runs its slice of the groups)."""
     K, npad = taba.shape[0], taba.shape[1]
     kernel = functools.partial(_mt64_pair_kernel_hb, g_rows=g_rows, bits=bits, s4c_slice=s4c)
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((K, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM)
-    out, states, rw = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_groups, s4c),
         in_specs=[tab_spec, tab_spec]
@@ -1516,7 +1543,18 @@ def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunk
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(taba, tabb, stream, init, jnp.zeros((npad, 128), jnp.int32))
+    )(taba, tabb, stream, init, rw0)
+
+
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "interpret"))
+def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, interpret=False):
+    """Paired decode for B=13..15 (no slicing: high-B buckets are few-row)."""
+    npad = taba.shape[1]
+    out, _states, _rw = _pairs_hb_call(
+        taba, tabb, stream, init, jnp.zeros((npad, 128), jnp.int32),
+        g_rows=g_rows, n_groups=n_groups, s4c=s4c, w_chunks=w_chunks,
+        bits=bits, interpret=interpret,
+    )
     return [(out, jnp.arange(npad, dtype=jnp.int32))]
 
 
@@ -1525,6 +1563,7 @@ def build_pair_arrays_hb(
     w_counts: list[int],
     stream: np.ndarray,
     bits: int,
+    n_dev: int = 1,
 ) -> tuple[list[np.ndarray], dict] | None:
     """Operands for the B>12 paired kernel: per-half [K, 128] table stacks
     ([K, npad, 128], chunk-leading) + the same interleaved stream layout."""
@@ -1542,7 +1581,7 @@ def build_pair_arrays_hb(
     g_cap = min(int(_os.environ.get("HSRANS_PAIR_GCAP", "256")), g_cap // 8 * 8)
     if g_cap < 8:
         return None
-    n_grp = -(-pairs // g_cap)
+    n_grp = -(-(-(-pairs // g_cap)) // n_dev) * n_dev
     g_rows = max(8, -(-(-(-pairs // n_grp)) // 8) * 8)
     npad = n_grp * g_rows
 

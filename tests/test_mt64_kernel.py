@@ -224,6 +224,25 @@ def test_mt_kernel_n32_planner():
     assert mt64_decode_tpu(blob, 12, interpret=True, n=32) == data.tobytes()
 
 
+@pytest.mark.parametrize("bits", (13, 15))
+def test_mt64_kernel_sharded_mesh_high_bits(bits):
+    """B>=13 pairs shard over the mesh too (flat-rank hb kernel inside
+    shard_map; previously gated to host-order execution)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tools.gen_inputs import text_like
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = Mesh(np.array(devs).reshape(len(devs)), ("dp",))
+    rng = np.random.default_rng(27)
+    data = text_like(rng, 400_000)
+    blob = _blob(data, 4096, bits=bits)
+    assert mt64_decode_tpu(blob, bits, interpret=True, mesh=mesh) == data.tobytes()
+
+
 def test_mt64_kernel_planner_blob_sharded():
     """Variable-size buckets shard over the mesh too (each bucket's rows
     split across devices; in-order gather at the shard_map boundary)."""
