@@ -20,7 +20,8 @@ Mirrors the reference binary's interface (main.cpp:367-399):
     --no-sleep / --cpu-core N / --low-mem   accepted for flag parity
                         (thermal sleeps and core pinning have no TPU analog)
 
-Output mirrors the reference's table: ratio, encode/decode MiB/s (min/avg).
+Output mirrors the reference's table: ratio, encode MiB/s (best run),
+decode max/avg/min MiB/s and per-run σ (main.cpp:72-118's stat set).
 """
 
 from __future__ import annotations
@@ -197,12 +198,13 @@ def main(argv: list[str] | None = None) -> int:
     if args["backend"] == "auto":
         cap = detect()
         args["backend"] = "device" if cap.tier == "tpu" else "numpy"
-    if args["backend"] == "interpret":
-        # the interpret tier is the capability-downgrade analog of the
-        # reference's mid --max-simd levels: it must run the kernels in
-        # Mosaic-interpret on CPU even when a TPU plugin force-selects
-        # itself at startup (the axon plugin does), or every jit would
-        # compile for the device it claims to be avoiding
+    if args["backend"] in ("interpret", "numpy"):
+        # capability-downgrade tiers (the reference's mid/none --max-simd
+        # levels) must not touch the TPU at all: interpret runs the kernels
+        # in Mosaic-interpret on CPU, and numpy never jits — but the banner
+        # probe alone (jax.devices()) would block on a wedged device tunnel
+        # if a TPU plugin force-selects itself at startup (the axon plugin
+        # does), so pin the platform BEFORE anything probes
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -210,7 +212,10 @@ def main(argv: list[str] | None = None) -> int:
 
     data = np.fromfile(args["file"], dtype=np.uint8)
     print(f"file: {args['file']} ({data.size} bytes)")
-    print(f"{'codec':<28} {'ratio':>8} {'enc MiB/s':>10} {'dec MiB/s':>10}  status")
+    print(
+        f"{'codec':<28} {'ratio':>8} {'enc MiB/s':>10} "
+        f"{'dec max':>9} {'dec avg':>9} {'dec min':>9} {'dec σ%':>7}  status"
+    )
 
     runs_enc = args["runs_enc"] or args["runs"]
     runs_dec = args["runs_dec"] or args["runs"]
@@ -233,9 +238,16 @@ def main(argv: list[str] | None = None) -> int:
             if not ok:
                 failed += 1
             mib = data.size / (1 << 20)
+            # per-run spread, reference main.cpp:72-118 (avg/min/max/std dev);
+            # rates: best run = mib/min(dts), worst = mib/max(dts)
+            rates = [mib / dt for dt in dts]
+            avg = sum(rates) / len(rates)
+            sigma = (sum((r - avg) ** 2 for r in rates) / len(rates)) ** 0.5
             print(
                 f"{codec['name']:<28} {len(blob)/max(data.size,1)*100:7.2f}% "
-                f"{mib/enc_dt:>10.2f} {mib/min(dts):>10.2f}  {'OK' if ok else 'MISMATCH'}"
+                f"{mib/enc_dt:>10.2f} {max(rates):>9.2f} {avg:>9.2f} "
+                f"{min(rates):>9.2f} {100*sigma/avg if avg else 0:>6.1f}%  "
+                f"{'OK' if ok else 'MISMATCH'}"
             )
         except Exception as e:  # mirror reference: any failure is a test failure
             failed += 1

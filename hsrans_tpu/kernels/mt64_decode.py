@@ -510,6 +510,20 @@ def mt64_decode_tpu(
                 blk, wc, idxs = blk[nbp:], wc[nbp:], idxs[nbp:]
                 if not idxs:
                     continue
+        if _USE_PAIR_KERNEL and n == 32 and bits <= 12 and len(idxs) >= 4:
+            # four n=32 blocks per 128-lane row (kernels/mt32_quad.py):
+            # 4x the row occupancy of the masked single path; leftover
+            # (< 4) blocks join the single path below
+            from .mt32_quad import decode_bucket_quad
+
+            nbq = len(idxs) // 4 * 4
+            rows4 = decode_bucket_quad(blk[:nbq], wc[:nbq], stream, bits, interpret, mesh, axis)
+            if rows4 is not None:
+                for j in range(nbq):
+                    decoded[idxs[j]] = rows4[j]
+                blk, wc, idxs = blk[nbq:], wc[nbq:], idxs[nbq:]
+                if not idxs:
+                    continue
         rows = decode_bucket(blk, wc, stream, bits, interpret, mesh, axis, n)
         if rows is None:
             continue  # bucket out of scope -> host oracle per block

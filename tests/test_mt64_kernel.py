@@ -216,6 +216,56 @@ def test_mt_kernel_n32(bits):
     assert mt64_decode_tpu(blob, bits, interpret=True, n=32) == data.tobytes()
 
 
+@pytest.mark.parametrize("bits", (10, 11, 12))
+def test_mt32_quad_roundtrip(bits):
+    """Quad-packed n=32 path: four blocks per 128-lane row (full alphabet
+    -> rank_mode 256, per-quarter two-operand gathers)."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(31)
+    data = text_like(rng, 300_000)
+    blob = mt_encode(data, bits, 32, plan=uniform_plan(data, bits, 32, 4096))
+    assert mt_decode(blob, bits, 32) == data.tobytes()
+    assert mt64_decode_tpu(blob, bits, interpret=True, n=32) == data.tobytes()
+
+
+@pytest.mark.parametrize("alphabet,mode", ((20, 32), (50, 64), (100, 128)))
+def test_mt32_quad_rank_modes(alphabet, mode):
+    """Small alphabets merge quarters' rank tables into fewer operands."""
+    from hsrans_tpu.kernels.mt32_quad import build_quad_arrays
+    from hsrans_tpu.kernels.mt64_decode import block_index, block_word_counts
+
+    bits = 11
+    rng = np.random.default_rng(37)
+    ranks = rng.zipf(1.4, 200_000)
+    data = ((ranks - 1) % alphabet).astype(np.uint8) * 2
+    blob = mt_encode(data, bits, 32, plan=uniform_plan(data, bits, 32, 4096))
+    _, stream, blocks = block_index(blob, 32)
+    coded = [b for b in blocks if not b.is_single][:-1]
+    wc = block_word_counts(blocks, coded, stream, 32)
+    nbq = len(coded) // 4 * 4
+    assert nbq >= 4
+    built = build_quad_arrays(coded[:nbq], wc[:nbq], stream, bits)
+    assert built is not None and built[1]["rank_mode"] == mode
+    assert mt64_decode_tpu(blob, bits, interpret=True, n=32) == data.tobytes()
+
+
+def test_mt32_quad_sharded_mesh():
+    import jax
+    from jax.sharding import Mesh
+
+    from tools.gen_inputs import text_like
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = Mesh(np.array(devs).reshape(len(devs)), ("dp",))
+    rng = np.random.default_rng(41)
+    data = text_like(rng, 500_000)
+    blob = mt_encode(data, 12, 32, plan=uniform_plan(data, 12, 32, 4096))
+    assert mt64_decode_tpu(blob, 12, interpret=True, n=32, mesh=mesh) == data.tobytes()
+
+
 def test_mt_kernel_n32_planner():
     from pathlib import Path
 

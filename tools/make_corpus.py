@@ -43,24 +43,27 @@ def gather(root: str, suffix: str) -> bytes:
     return b"".join(parts)
 
 
-def main(out_path: str) -> None:
+def main(out_path: str, total: int = TOTAL) -> None:
+    """total > TOTAL builds the scale-validation corpus (e.g. 100 MiB, the
+    reference's enwik8/x-ray benchmark size, README.md:29) — same
+    deterministic interleave, not checked in (generated into /tmp)."""
     stdlib = sysconfig.get_paths()["stdlib"]
     text = gather(stdlib, ".py")
     binry = gather(stdlib, ".pyc") or gather(stdlib, ".so")
     out = bytearray()
     ti = bi = 0
     placed_rle = False
-    while len(out) < TOTAL:
+    while len(out) < total:
         out += text[ti : ti + TEXT_SEG]
         ti += TEXT_SEG
-        if not placed_rle and len(out) >= TOTAL // 2:
+        if not placed_rle and len(out) >= total // 2:
             out += bytes([0x20]) * RLE_SEG
             placed_rle = True
         out += binry[bi % max(len(binry) - BIN_SEG, 1) :][:BIN_SEG]
         bi += BIN_SEG
         if ti >= len(text):
             ti = 0
-    del out[TOTAL:]
+    del out[total:]
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(out)
@@ -113,5 +116,7 @@ def make_xray(out_path: str, side: int = 2048) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "xray":
         make_xray(sys.argv[2] if len(sys.argv) > 2 else "tests/corpus/xray.bin")
+    elif len(sys.argv) > 1 and sys.argv[1] == "big":
+        main(sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus100.bin", total=100 << 20)
     else:
         main(sys.argv[1] if len(sys.argv) > 1 else "tests/corpus/corpus.bin")
