@@ -87,7 +87,7 @@ def _build_codecs(args) -> list[dict]:
                     (lambda b, n=n, f=dec_fn: lambda c: f(c, b, n))(bits),
                     bits,
                 )
-            if args["backend"] != "numpy" and bits <= 15:
+            if args["backend"] != "numpy" and args["dev"] and bits <= 15:
                 from .kernels.mt64_decode import mt64_decode_tpu
                 from .kernels.mt64_encode import mt64_encode_tpu
 
@@ -132,6 +132,7 @@ def parse_args(argv: list[str]) -> dict:
         "mt": False,
         "block": True,
         "tpx": True,
+        "dev": True,  # --exclude-dev drops the device (TPU) mt rows
         "backend": "auto",
         "max_simd": None,
     }
@@ -152,10 +153,11 @@ def parse_args(argv: list[str]) -> dict:
         elif a == "--hist-max":
             i += 1
             args["hist_max"] = int(argv[i])
-        elif a.startswith("--include-"):
-            args[a[10:].replace("-", "")] = True
-        elif a.startswith("--exclude-"):
-            args[a[10:].replace("-", "")] = False
+        elif a.startswith("--include-") or a.startswith("--exclude-"):
+            # the reference spells the 32blk family "--include-32blk"
+            # (main.cpp flag table); internal key is "blk32"
+            key = a[10:].replace("-", "")
+            args[{"32blk": "blk32"}.get(key, key)] = a.startswith("--include-")
         elif a == "--max-simd":
             i += 1
             args["max_simd"] = argv[i]

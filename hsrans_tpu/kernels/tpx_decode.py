@@ -331,7 +331,7 @@ def tpx_decode_tpu(blob: bytes | np.ndarray, interpret: bool = False) -> bytes |
     if parsed is None:
         return None
     p, length, megas = parsed
-    if p.lanes != L or p.steps % 4:
+    if p.lanes != L or any(m.steps % 4 for m in megas):
         return None
     n_buckets = (1 << p.bits) // 32  # <= 1024; packed 128 per sublane row
     if n_buckets > 8 * 128:
@@ -344,16 +344,16 @@ def tpx_decode_tpu(blob: bytes | np.ndarray, interpret: bool = False) -> bytes |
         if tabs is None:
             return None
 
-        vlen = np.array([[min(length - mega.base, p.rows * n_tiles * p.steps * L)]], np.int32)
+        vlen = np.array([[min(length - mega.base, mega.span)]], np.int32)
         packed = _decode_mega(
             jnp.asarray(vlen),
             *[jnp.asarray(t) for t in tabs],
             jnp.asarray(chunk_major(mega.stream.view(np.int32))),
             jnp.asarray(mega.states),
-            rows=p.rows,
+            rows=mega.rows,
             n_tiles=n_tiles,
             w_slots=mega.w_slots,
-            steps=p.steps,
+            steps=mega.steps,
             bits=p.bits,
             interpret=interpret,
         )

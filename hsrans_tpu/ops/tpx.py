@@ -72,6 +72,11 @@ MAGIC2 = b"HSRTPX02"  # v2: ragged streams (exact per-row slots; counts are
 #                       already in the wire, so padding never hits the wire
 #                       — the rectangular layout is rebuilt at parse time
 #                       for the kernels).  Encoders emit v2; both parse.
+MAGIC3 = b"HSRTPX03"  # v3: per-megablock GEOMETRY (u32 rows | u32 steps
+#                       before each mega's n_tiles) — the adaptive encoder
+#                       picks tile span / chain count per content region
+#                       (the _CanExtendHist-style cost model places the
+#                       cuts); header rows/steps/tiles become defaults.
 
 # Defaults tuned on v5e (docs/KERNEL_NOTES.md): the VPU is latency-bound on
 # serial op chains, so throughput scales with rows until ~1024; tiles per
@@ -190,75 +195,190 @@ def _mega_layout(length: int, p: TpxParams) -> list[tuple[int, int, int]]:
     return out
 
 
+def _encode_mega_into(
+    out: bytearray,
+    arr: np.ndarray,
+    mega_base: int,
+    n_tiles: int,
+    valid_bytes: int,
+    bits: int,
+    rows: int,
+    steps: int,
+    lanes: int = L,
+) -> None:
+    """Encode one megablock of `arr` at the given geometry and append its
+    wire section (n_tiles | W | states | tables | ragged streams) to `out`.
+    Shared by the uniform (v2) and adaptive (v3) encoders — byte-identical
+    mega sections either way."""
+    emit_point = _U32(encode_emit_point_16(bits))
+    s4c = steps // 4
+    row_span = n_tiles * steps * lanes
+    flat = np.zeros(rows * row_span, dtype=np.uint8)
+    n_valid = min(valid_bytes, rows * row_span)
+    flat[:n_valid] = arr[mega_base : mega_base + n_valid]
+    # wire byte mapping [t, r, s4, l, b] -> symbol layout [r, t, s, l]
+    view = (
+        flat.reshape(n_tiles, rows, s4c, lanes, 4)
+        .transpose(1, 0, 2, 4, 3)
+        .reshape(rows, n_tiles, steps, lanes)
+    )
+    r_ = np.arange(rows)[:, None, None, None]
+    t_ = np.arange(n_tiles)[None, :, None, None]
+    s_ = np.arange(steps)[None, None, :, None]
+    l_ = np.arange(lanes)[None, None, None, :]
+    pos = (((t_ * rows + r_) * s4c + s_ // 4) * lanes + l_) * 4 + s_ % 4
+    valid = pos < n_valid
+
+    # per-tile histograms over valid bytes: tile t's valid bytes are the
+    # contiguous wire range [t*rows*steps*L, ...) of this megablock
+    tile_bytes = rows * steps * lanes
+    hists = [
+        make_tile_hist(flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)], bits)
+        for t in range(n_tiles)
+    ]
+
+    states = np.full((rows, lanes), DECODE_CONSUME_POINT_16, dtype=_U32)
+    words = np.zeros((n_tiles, steps, rows, lanes), dtype=np.uint16)
+    emits = np.zeros((n_tiles, steps, rows, lanes), dtype=bool)
+
+    for t in range(n_tiles - 1, -1, -1):
+        freq_tab = hists[t].symbol_count.astype(_U32)
+        cumul_tab = hists[t].cumul.astype(_U32)
+        for s in range(steps - 1, -1, -1):
+            b = view[:, t, s]
+            v = valid[:, t, s]
+            freq = freq_tab[b]
+            emit = (states >= emit_point * np.maximum(freq, 1)) & v
+            words[t, s] = np.where(emit, (states & _U32(0xFFFF)).astype(np.uint16), 0)
+            emits[t, s] = emit
+            states = np.where(emit, states >> _U32(16), states)
+            new_states = ((states // np.maximum(freq, 1)) << _U32(bits)) + cumul_tab[b] + (states % np.maximum(freq, 1))
+            states = np.where(v, new_states, states)
+
+    # per-row per-tile forward streams = reversed emission order
+    counts = emits.transpose(0, 2, 1, 3).reshape(n_tiles, rows, -1).sum(axis=2)
+    max_words = int(counts.max()) if counts.size else 0
+    w_slots = max(128, -(-(-(-max_words // 2)) // 128) * 128)
+    stream = np.zeros((n_tiles, rows, w_slots), dtype=np.uint32)
+    for t in range(n_tiles):
+        wt = words[t].transpose(1, 0, 2).reshape(rows, -1)  # [rows, steps*lanes] fwd order
+        et = emits[t].transpose(1, 0, 2).reshape(rows, -1)
+        for r in range(rows):
+            rw = wt[r][et[r]].astype(np.uint32)
+            if rw.size & 1:
+                rw = np.concatenate([rw, [np.uint32(0)]])
+            stream[t, r, : rw.size // 2] = rw[0::2] | (rw[1::2] << np.uint32(16))
+
+    _write_mega(out, n_tiles, w_slots, states, [h.symbol_count for h in hists], counts, stream)
+
+
 def tpx_encode(data: bytes | np.ndarray, bits: int = 12, p: TpxParams | None = None, goal: str = "balanced") -> bytes:
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     length = arr.size
     p = p or TpxParams.auto(length, bits, goal)
     bits = p.bits
-    emit_point = _U32(encode_emit_point_16(bits))
 
     out = tpx_header(length, p)
-
-    s4c = p.steps // 4
     for mega_base, n_tiles, valid_bytes in _mega_layout(length, p):
-        row_span = n_tiles * p.steps * p.lanes
-        flat = np.zeros(p.rows * row_span, dtype=np.uint8)
-        n_valid = min(valid_bytes, p.rows * row_span)
-        flat[:n_valid] = arr[mega_base : mega_base + n_valid]
-        # wire byte mapping [t, r, s4, l, b] -> symbol layout [r, t, s, l]
-        view = (
-            flat.reshape(n_tiles, p.rows, s4c, p.lanes, 4)
-            .transpose(1, 0, 2, 4, 3)
-            .reshape(p.rows, n_tiles, p.steps, p.lanes)
-        )
-        r_ = np.arange(p.rows)[:, None, None, None]
-        t_ = np.arange(n_tiles)[None, :, None, None]
-        s_ = np.arange(p.steps)[None, None, :, None]
-        l_ = np.arange(p.lanes)[None, None, None, :]
-        pos = (((t_ * p.rows + r_) * s4c + s_ // 4) * p.lanes + l_) * 4 + s_ % 4
-        valid = pos < n_valid
+        _encode_mega_into(out, arr, mega_base, n_tiles, valid_bytes, bits, p.rows, p.steps, p.lanes)
 
-        # per-tile histograms over valid bytes: tile t's valid bytes are the
-        # contiguous wire range [t*rows*steps*L, ...) of this megablock
-        tile_bytes = p.rows * p.steps * p.lanes
-        hists = [
-            make_tile_hist(flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)], bits)
-            for t in range(n_tiles)
-        ]
+    total = len(out)
+    out[16:24] = total.to_bytes(8, "little")
+    return bytes(out)
 
-        states = np.full((p.rows, p.lanes), DECODE_CONSUME_POINT_16, dtype=_U32)
-        words = np.zeros((n_tiles, p.steps, p.rows, p.lanes), dtype=np.uint16)
-        emits = np.zeros((n_tiles, p.steps, p.rows, p.lanes), dtype=bool)
 
-        for t in range(n_tiles - 1, -1, -1):
-            freq_tab = hists[t].symbol_count.astype(_U32)
-            cumul_tab = hists[t].cumul.astype(_U32)
-            for s in range(p.steps - 1, -1, -1):
-                b = view[:, t, s]
-                v = valid[:, t, s]
-                freq = freq_tab[b]
-                emit = (states >= emit_point * np.maximum(freq, 1)) & v
-                words[t, s] = np.where(emit, (states & _U32(0xFFFF)).astype(np.uint16), 0)
-                emits[t, s] = emit
-                states = np.where(emit, states >> _U32(16), states)
-                new_states = ((states // np.maximum(freq, 1)) << _U32(bits)) + cumul_tab[b] + (states % np.maximum(freq, 1))
-                states = np.where(v, new_states, states)
+@dataclass
+class MegaGeom:
+    """One v3 megablock's geometry: covers rows * n_tiles * steps * 128
+    bytes from `base` (the last mega may be partial)."""
+    base: int
+    rows: int
+    steps: int
+    n_tiles: int
 
-        # per-row per-tile forward streams = reversed emission order
-        counts = emits.transpose(0, 2, 1, 3).reshape(n_tiles, p.rows, -1).sum(axis=2)
-        max_words = int(counts.max()) if counts.size else 0
-        w_slots = max(128, -(-(-(-max_words // 2)) // 128) * 128)
-        stream = np.zeros((n_tiles, p.rows, w_slots), dtype=np.uint32)
-        for t in range(n_tiles):
-            wt = words[t].transpose(1, 0, 2).reshape(p.rows, -1)  # [rows, steps*lanes] fwd order
-            et = emits[t].transpose(1, 0, 2).reshape(p.rows, -1)
-            for r in range(p.rows):
-                rw = wt[r][et[r]].astype(np.uint32)
-                if rw.size & 1:
-                    rw = np.concatenate([rw, [np.uint32(0)]])
-                stream[t, r, : rw.size // 2] = rw[0::2] | (rw[1::2] << np.uint32(16))
+    @property
+    def span(self) -> int:
+        return self.rows * self.n_tiles * self.steps * L
 
-        _write_mega(out, n_tiles, w_slots, states, [h.symbol_count for h in hists], counts, stream)
+
+def tpx_plan_geometry(arr: np.ndarray, bits: int) -> list[MegaGeom]:
+    """Planner-informed per-region geometry (the _CanExtendHist analog,
+    block_rANS32x64_16w_encode.cpp:58-133, reused via ops/planner.py).
+
+    The greedy mt planner segments the input into histogram-homogeneous
+    blocks; each run of similarly-sized plan blocks becomes one megablock
+    whose TILE SPAN tracks the local block size (histograms stay inside
+    one content region) while the CHAIN COUNT stays high by shrinking
+    steps instead of rows — hist locality and parallelism decouple:
+
+      region block size   tile span   rows x steps (span = rows*steps*128)
+      >= 4 MiB (homog.)     4 MiB     1024 x 32   (the v5e speed point)
+      >= 1 MiB              1 MiB     1024 x 8
+      >= 256 KiB          256 KiB      256 x 8
+      else                128 KiB      128 x 8
+    """
+    from .planner import plan_blocks
+
+    length = arr.size
+    if length == 0:
+        return [MegaGeom(0, 8, 4, 1)]
+    plan = plan_blocks(arr, bits, "mt", 64)
+
+    def geom_of(block_size: int) -> tuple[int, int]:
+        if block_size >= 4 << 20:
+            return 1024, 32
+        if block_size >= 1 << 20:
+            return 1024, 8
+        if block_size >= 256 << 10:
+            return 256, 8
+        return 128, 8
+
+    out: list[MegaGeom] = []
+    base = 0
+    i = 0
+    while base < length:
+        # geometry of the region starting here: the plan block covering base
+        while i + 1 < len(plan) and plan[i + 1].start <= base:
+            i += 1
+        rows, steps = geom_of(plan[i].size)
+        # small-input clamp: the per-mega state snapshot is rows*512 bytes,
+        # so rows scale down until the tile span fits the remaining data
+        # (same floor as TpxParams.auto)
+        rows = min(rows, max(8, (length - base) // (steps * L) // 8 * 8))
+        tile_span = rows * steps * L
+        # extend the mega while following plan blocks keep the same geometry
+        end = min(plan[i].start + plan[i].size, length)
+        j = i + 1
+        while j < len(plan) and geom_of(plan[j].size) == (rows, steps):
+            end = min(plan[j].start + plan[j].size, length)
+            j += 1
+        n_tiles = max(1, (end - base) // tile_span)
+        if base + n_tiles * tile_span >= length:
+            n_tiles = max(1, -(-(length - base) // tile_span))
+        out.append(MegaGeom(base, rows, steps, n_tiles))
+        base += n_tiles * tile_span
+    return out
+
+
+def tpx_encode_adaptive(data: bytes | np.ndarray, bits: int = 12) -> bytes:
+    """v3 encode: per-megablock geometry from `tpx_plan_geometry` — speed
+    geometry survives on homogeneous spans, small (hist-local) tiles engage
+    only where content shifts pay for them."""
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    length = arr.size
+    geoms = tpx_plan_geometry(arr, bits)
+
+    out = bytearray()
+    out += MAGIC3
+    out += length.to_bytes(8, "little")
+    out += b"\0" * 8
+    g0 = geoms[0]
+    for v in (bits, g0.rows, L, g0.steps, g0.n_tiles):
+        out += int(v).to_bytes(4, "little")
+    for g in geoms:
+        out += int(g.rows).to_bytes(4, "little")
+        out += int(g.steps).to_bytes(4, "little")
+        _encode_mega_into(out, arr, g.base, g.n_tiles, max(0, min(length - g.base, g.span)), bits, g.rows, g.steps)
 
     total = len(out)
     out[16:24] = total.to_bytes(8, "little")
@@ -341,6 +461,12 @@ class TpxMega:
     freqs: np.ndarray  # u16[n_tiles, 256]
     counts: np.ndarray  # u16[n_tiles, R]
     stream: np.ndarray  # u32[n_tiles, R, W]
+    rows: int = 0  # per-mega geometry (v3); v1/v2 fill from the header
+    steps: int = 0
+
+    @property
+    def span(self) -> int:
+        return self.rows * self.n_tiles * self.steps * L
 
 
 def tpx_parse(blob: bytes | np.ndarray) -> tuple[TpxParams, int, list[TpxMega]] | None:
@@ -348,9 +474,10 @@ def tpx_parse(blob: bytes | np.ndarray) -> tuple[TpxParams, int, list[TpxMega]] 
     reference's defensive-header error model, e.g.
     block_rANS32x64_16w_decode.cpp:15-32)."""
     buf = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, bytearray, memoryview)) else np.asarray(blob, dtype=np.uint8)
-    if buf.size < 44 or buf[:8].tobytes() not in (MAGIC, MAGIC2):
+    if buf.size < 44 or buf[:8].tobytes() not in (MAGIC, MAGIC2, MAGIC3):
         return None
-    ragged = buf[:8].tobytes() == MAGIC2
+    ragged = buf[:8].tobytes() in (MAGIC2, MAGIC3)
+    per_mega_geom = buf[:8].tobytes() == MAGIC3
     length = int.from_bytes(buf[8:16].tobytes(), "little")
     bits, rows, lanes, steps, tiles = (int.from_bytes(buf[24 + 4 * i : 28 + 4 * i].tobytes(), "little") for i in range(5))
     if not (10 <= bits <= 15) or rows < 1 or lanes < 1 or steps < 1 or tiles < 1:
@@ -362,11 +489,22 @@ def tpx_parse(blob: bytes | np.ndarray) -> tuple[TpxParams, int, list[TpxMega]] 
     off = 44
     base = 0
     while base < length or (length == 0 and not megas):
+        if per_mega_geom:
+            # v3: u32 rows | u32 steps precede each mega's n_tiles; the
+            # header values are defaults only.  Same plausibility gates.
+            if off + 8 > buf.size:
+                return None
+            rows = int.from_bytes(buf[off : off + 4].tobytes(), "little")
+            steps = int.from_bytes(buf[off + 4 : off + 8].tobytes(), "little")
+            if rows < 1 or steps < 1 or steps % 4 or rows * lanes > (1 << 24):
+                return None
+            off += 8
         if off + 8 > buf.size:
             return None
         n_tiles = int.from_bytes(buf[off : off + 4].tobytes(), "little")
         w_slots = int.from_bytes(buf[off + 4 : off + 8].tobytes(), "little")
-        if n_tiles < 1 or n_tiles > tiles or w_slots < 1 or w_slots > steps * lanes:
+        max_tiles = (1 << 20) // steps if per_mega_geom else tiles
+        if n_tiles < 1 or n_tiles > max_tiles or w_slots < 1 or w_slots > steps * lanes:
             return None
         need_hdr = 4 * rows * lanes + n_tiles * (512 + 2 * rows)
         if off + 8 + need_hdr > buf.size:
@@ -404,7 +542,7 @@ def tpx_parse(blob: bytes | np.ndarray) -> tuple[TpxParams, int, list[TpxMega]] 
                 return None
             stream = buf[off : off + 4 * n_stream].view("<u4").reshape(n_tiles, rows, w_slots).astype(np.uint32)
             off += 4 * n_stream
-        megas.append(TpxMega(base, n_tiles, w_slots, states, freqs, counts, stream))
+        megas.append(TpxMega(base, n_tiles, w_slots, states, freqs, counts, stream, rows, steps))
         base += rows * n_tiles * steps * lanes
     return p, length, megas
 
@@ -418,14 +556,15 @@ def tpx_decode(blob: bytes | np.ndarray, use_rank_tables: bool = False) -> bytes
     p, length, megas = parsed
     bits = p.bits
     mask_slot = _U32((1 << bits) - 1)
-    out = np.zeros(length + p.mega_bytes, dtype=np.uint8)
+    max_span = max((m.span for m in megas), default=0)
+    out = np.zeros(length + max_span, dtype=np.uint8)
 
     for mega in megas:
-        n_tiles = mega.n_tiles
-        row_span = n_tiles * p.steps * p.lanes
+        n_tiles, rows, steps = mega.n_tiles, mega.rows, mega.steps
+        row_span = n_tiles * steps * p.lanes
         states = mega.states.copy()
-        n_valid = min(length - mega.base, p.rows * row_span)
-        syms_all = np.zeros((n_tiles, p.steps, p.rows, p.lanes), dtype=np.uint8)
+        n_valid = min(length - mega.base, rows * row_span)
+        syms_all = np.zeros((n_tiles, steps, rows, p.lanes), dtype=np.uint8)
         lanes_idx = np.arange(p.lanes)
 
         for t in range(n_tiles):
@@ -441,13 +580,13 @@ def tpx_decode(blob: bytes | np.ndarray, use_rank_tables: bool = False) -> bytes
             else:
                 inv = make_cumul_inv(hist)
             stream = mega.stream[t]
-            r_word = np.zeros((p.rows, 1), dtype=np.int64)
-            s4c = p.steps // 4
+            r_word = np.zeros((rows, 1), dtype=np.int64)
+            s4c = steps // 4
             base_pos = (
-                (t * p.rows + np.arange(p.rows)[:, None]) * s4c * p.lanes
+                (t * rows + np.arange(rows)[:, None]) * s4c * p.lanes
                 + lanes_idx[None, :]
             ) * 4
-            for s in range(p.steps):
+            for s in range(steps):
                 slot = states & mask_slot
                 if use_rank_tables:
                     k = (slot >> _U32(5)).astype(np.int64)
@@ -476,11 +615,11 @@ def tpx_decode(blob: bytes | np.ndarray, use_rank_tables: bool = False) -> bytes
 
         # [t, s, r, l] -> wire order [t, r, s4, l, b]
         mega_out = (
-            syms_all.reshape(n_tiles, p.steps // 4, 4, p.rows, p.lanes)
+            syms_all.reshape(n_tiles, steps // 4, 4, rows, p.lanes)
             .transpose(0, 3, 1, 4, 2)
             .reshape(-1)
         )
-        span = min(p.rows * row_span, out.size - mega.base)
+        span = min(rows * row_span, out.size - mega.base)
         if span < 0:
             return None  # inconsistent (corrupted) header geometry
         out[mega.base : mega.base + span] = mega_out[:span]

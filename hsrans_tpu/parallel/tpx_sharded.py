@@ -82,20 +82,28 @@ def tpx_decode_device(
     if parsed is None:
         return None
     p, length, megas = parsed
-    if p.lanes != 128 or p.steps % 4 or (1 << p.bits) // 32 > 1024:
+    if p.lanes != 128 or any(m.steps % 4 for m in megas) or (1 << p.bits) // 32 > 1024:
         return None
     out = np.zeros(length, dtype=np.uint8)
     from .sharded import axis_size
 
     n_dev = axis_size(mesh, axis)
 
-    full = [m for m in megas if m.n_tiles == p.tiles]
-    rest = [m for m in megas if m.n_tiles != p.tiles]
+    # group megas by geometry: v2 blobs have one (rows, steps, tiles) so all
+    # full megas land in one group; v3 (adaptive) blobs form one group per
+    # region geometry.  Groups of >= 2 megas batch through the sharded
+    # kernel; singletons (e.g. the trailing partial mega) decode locally.
+    groups: dict[tuple[int, int, int], list] = {}
+    for m in megas:
+        groups.setdefault((m.rows, m.steps, m.n_tiles), []).append(m)
 
-    if full:
-        M = -(-len(full) // n_dev) * n_dev
-        T = p.tiles
-        w_max = max(m.w_slots for m in full)
+    rest = []
+    for (rows, steps, T), ms in sorted(groups.items()):
+        if len(ms) < 2:
+            rest.extend(ms)
+            continue
+        M = -(-len(ms) // n_dev) * n_dev
+        w_max = max(m.w_slots for m in ms)
         vlens = np.zeros((M, 1, 1), np.int32)
         c0 = np.zeros((M, T, 8, 128), np.int32)
         bm = np.zeros((M, T, 8, 128), np.int32)
@@ -103,10 +111,10 @@ def tpx_decode_device(
         t1b = np.zeros((M, T, 8, 128), np.int32)
         t2a = np.zeros((M, T, 8, 128), np.int32)
         t2b = np.zeros((M, T, 8, 128), np.int32)
-        stream = np.zeros((M, T, p.rows, w_max), np.int32)
-        states = np.full((M, p.rows, p.lanes), 1 << 15, np.uint32)
-        for i, m in enumerate(full):
-            vlens[i, 0, 0] = min(length - m.base, p.rows * T * p.steps * p.lanes)
+        stream = np.zeros((M, T, rows, w_max), np.int32)
+        states = np.full((M, rows, p.lanes), 1 << 15, np.uint32)
+        for i, m in enumerate(ms):
+            vlens[i, 0, 0] = min(length - m.base, m.span)
             tabs = KD.mega_dec_tables(m.freqs, p.bits)
             if tabs is None:
                 return None
@@ -117,24 +125,25 @@ def tpx_decode_device(
 
         packed = _decode_sharded(
             *[jnp.asarray(x) for x in (vlens, c0, bm, t1a, t1b, t2a, t2b, KD.chunk_major(stream), states)],
-            rows=p.rows,
+            rows=rows,
             n_tiles=T,
             w_slots=w_max,
-            steps=p.steps,
+            steps=steps,
             bits=p.bits,
             mesh=mesh,
             axis=axis,
             interpret=interpret,
         )
         packed = np.asarray(packed)  # [M, T, rows, (steps/4)*128] i32, wire order
-        for i, m in enumerate(full):
+        for i, m in enumerate(ms):
             mega_bytes = packed[i].reshape(-1).view(np.uint8)
             n_valid = min(length - m.base, mega_bytes.size)
             out[m.base : m.base + n_valid] = mega_bytes[:n_valid]
 
-    for m in rest:  # at most one trailing partial mega: decode locally
-        sub = tpx_header(0, p)
-        sub[8:16] = (min(length - m.base, p.rows * m.n_tiles * p.steps * p.lanes)).to_bytes(8, "little")
+    for m in rest:  # singleton geometry groups: decode locally
+        mp = TpxParams(bits=p.bits, rows=m.rows, lanes=p.lanes, steps=m.steps, tiles=m.n_tiles)
+        sub = tpx_header(0, mp)
+        sub[8:16] = (min(length - m.base, m.span)).to_bytes(8, "little")
         _write_mega(sub, m.n_tiles, m.w_slots, m.states, list(m.freqs), m.counts, m.stream)
         sub[16:24] = len(sub).to_bytes(8, "little")
         part = KD.tpx_decode_tpu(bytes(sub), interpret=interpret)

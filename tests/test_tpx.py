@@ -121,3 +121,62 @@ def test_tpx_auto_geometry_small_inputs():
         assert tpx_decode(blob) == data.tobytes()
     p = TpxParams.auto(20_000, 12)
     assert p.rows == 8 and p.mega_bytes >= 20_000
+
+
+def test_tpx_adaptive_v3_roundtrip_and_ratio():
+    """v3 per-mega geometry: planner-informed cuts keep the hist-local
+    ratio win at 4x the ratio goal's chain count (128 rows vs 32)."""
+    from pathlib import Path
+
+    from hsrans_tpu.kernels.tpx_decode import tpx_decode_tpu
+    from hsrans_tpu.ops.tpx import tpx_decode, tpx_encode_adaptive, tpx_parse
+
+    data = np.fromfile(Path(__file__).parent / "corpus" / "corpus.bin", np.uint8)
+    blob = tpx_encode_adaptive(data, 12)
+    ratio = len(blob) / data.size
+    assert ratio <= 0.60, ratio
+    p, length, megas = tpx_parse(blob)
+    assert length == data.size
+    assert all(m.rows >= 128 for m in megas), [m.rows for m in megas]
+    assert tpx_decode(blob) == data.tobytes()
+    assert tpx_decode_tpu(blob, interpret=True) == data.tobytes()
+
+
+def test_tpx_adaptive_v3_mixed_geometries():
+    """Homogeneous + heterogeneous regions produce distinct per-mega
+    geometries in one blob; every decode tier agrees."""
+    from hsrans_tpu.kernels.tpx_decode import tpx_decode_tpu
+    from hsrans_tpu.ops.tpx import tpx_decode, tpx_encode_adaptive, tpx_parse
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(53)
+    # 5 MiB homogeneous zipf span + 1.5 MiB text (content shift)
+    ranks = rng.zipf(1.2, 5 << 20)
+    homog = ((ranks - 1) % 200).astype(np.uint8)
+    data = np.concatenate([homog, text_like(rng, 3 << 19)])
+    blob = tpx_encode_adaptive(data, 12)
+    p, length, megas = tpx_parse(blob)
+    geoms = {(m.rows, m.steps) for m in megas}
+    assert len(geoms) >= 2, geoms  # speed geometry + hist-local geometry
+    assert tpx_decode(blob) == data.tobytes()
+    assert tpx_decode_tpu(blob, interpret=True) == data.tobytes()
+
+
+def test_tpx_adaptive_v3_sharded():
+    import jax
+    from jax.sharding import Mesh
+
+    from hsrans_tpu.ops.tpx import tpx_encode_adaptive
+    from hsrans_tpu.parallel.tpx_sharded import tpx_decode_device
+    from tools.gen_inputs import text_like
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = Mesh(np.array(devs).reshape(len(devs)), ("dp",))
+    rng = np.random.default_rng(59)
+    data = text_like(rng, 2 << 20)
+    blob = tpx_encode_adaptive(data, 12)
+    assert tpx_decode_device(blob, mesh=mesh, interpret=True) == data.tobytes()
