@@ -256,6 +256,154 @@ def bench_mt(corpus_big):
     _mt_bucket_slope(blob1, BITS, "single_chain_decode_B12", None)
 
 
+def bench_mt_xray():
+    """mt planner decode on the x-ray-like corpus — the content class the
+    reference's headline 32T mt numbers are set on (README.md:182: x-ray
+    B10 18,035.77 / B12 13,207 / B15 7,308-7,471 MiB/s)."""
+    from hsrans_tpu.ops.mt import mt_encode
+
+    xr = np.fromfile(os.path.join(REPO, "tests", "corpus", "xray.bin"), np.uint8)
+    xr_big = np.tile(xr, max(1, SIZE_MB // 8))
+    for bits, base in ((12, 13207.0), (10, 18035.77), (15, 7471.0)):
+        blob = mt_encode(xr_big, bits, 64)
+        record(f"ratio_mt_xray_B{bits}", len(blob) / xr_big.size, "ratio")
+        _mt_bucket_slope(blob, bits, f"mt_xray_decode_B{bits}", base)
+
+
+def bench_tpx_adaptive(corpus):
+    """v3 adaptive geometry: ratio and device decode rate on the SAME blob
+    (the ratio<=0.60-and-fast row; groups of same-geometry megas chain
+    through per-group kernels exactly like production decode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hsrans_tpu.kernels import tpx_decode as K
+    from hsrans_tpu.kernels.tpx_encode import tpx_encode_adaptive_tpu
+    from hsrans_tpu.ops.tpx import tpx_parse
+
+    blob = tpx_encode_adaptive_tpu(corpus, BITS)
+    record("ratio_tpx_adaptive", len(blob) / corpus.size, "ratio")
+    p, length, megas = tpx_parse(blob)
+    groups: dict[tuple, list] = {}
+    for m in megas:
+        groups.setdefault((m.rows, m.steps, m.n_tiles), []).append(m)
+    gspecs = []
+    for (rows, steps, T), ms in sorted(groups.items()):
+        w_max = max(m.w_slots for m in ms)
+        M = len(ms)
+        packs = [np.zeros((M, T, 8, 128), np.int32) for _ in range(6)]
+        stream = np.zeros((M, T, rows, w_max), np.int32)
+        states = np.zeros((M, rows, 128), np.uint32)
+        vlens = np.zeros((M, 1, 1), np.int32)
+        for i, m in enumerate(ms):
+            tabs = K.mega_dec_tables(m.freqs, BITS)
+            for j in range(6):
+                packs[j][i] = tabs[j]
+            stream[i, :, :, : m.w_slots] = m.stream.view(np.int32)
+            states[i] = m.states
+            vlens[i, 0, 0] = min(length - m.base, m.span)
+        dev = tuple(jnp.asarray(x) for x in packs + [K.chunk_major(stream), states])
+        vl = jnp.asarray(vlens)
+        gspecs.append((dev, vl, dict(rows=rows, n_tiles=T, w_slots=w_max, steps=steps, bits=BITS)))
+
+    def many(n):
+        @jax.jit
+        def fn():
+            def body(i, carry):
+                for dev, vl, kw in gspecs:
+                    def gpass(c, xs, kw=kw):
+                        vlen_m, c0m, bmm, t1am, t1bm, t2am, t2bm, streamm, initm = xs
+                        out = K._decode_mega(
+                            vlen_m, c0m, bmm, t1am, t1bm, t2am, t2bm, streamm, initm ^ c, **kw
+                        )
+                        d = jax.lax.bitcast_convert_type(out[0, 0, 0], jnp.uint32) & jnp.uint32(1)
+                        return c ^ d, out[0, 0, 0]
+
+                    carry, _ = jax.lax.scan(gpass, carry, (vl,) + dev)
+                return carry
+
+            return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
+
+        return fn
+
+    per = slope(many, 1, 17)
+    record("tpx_adaptive_decode", corpus.size / (1 << 20) / per, "MiB/s", None)
+
+
+def bench_mt32_quad(corpus):
+    """n=32 planner blobs: quad-packed (4 blocks/row) vs the masked
+    single-block path on the SAME bucket — the 2x-occupancy row."""
+    import jax
+    import jax.numpy as jnp
+
+    from hsrans_tpu.kernels import mt32_quad as Q
+    from hsrans_tpu.kernels import mt64_decode as K
+    from hsrans_tpu.ops.mt import mt_encode
+
+    blob = mt_encode(corpus, BITS, 32)  # greedy planner, mt32 constants
+    length, stream, blocks = K.block_index(blob, 32)
+    coded = [b for b in blocks if not b.is_single]
+    kb = coded[:-1]
+    w_all = K.block_word_counts(blocks, kb, stream, 32)
+    sizes: dict[int, list[int]] = {}
+    for i, b in enumerate(kb):
+        if b.size % 512 == 0:
+            sizes.setdefault(b.size, []).append(i)
+    size0, idxs = max(sizes.items(), key=lambda kv: kv[0] * len(kv[1]))
+    idxs = sorted(idxs, key=lambda i: w_all[i])
+    nbq = len(idxs) // 4 * 4
+    blk = [kb[i] for i in idxs[:nbq]]
+    wc = [w_all[i] for i in idxs[:nbq]]
+    built = Q.build_quad_arrays(blk, wc, stream, BITS)
+    if built is None:
+        return
+    arrs, kw = built
+    npad = arrs[0].shape[0]
+    dev = [jnp.asarray(a) for a in arrs]
+    tri = jnp.asarray(Q._tri_quad_operand())
+    rw0 = jnp.zeros((npad, 128), jnp.int32)
+    kwc = dict(
+        g_rows=kw["g_rows"], n_groups=kw["n_groups"], s4c=kw["s4c"],
+        w_chunks=kw["w_chunks"], bits=BITS, rank_mode=kw["rank_mode"],
+    )
+
+    def one_pass(carry, _):
+        out = Q._quads_jit(*dev[:16], tri, dev[16], dev[17] ^ carry, rw0, **kwc)
+        d = jax.lax.bitcast_convert_type(out[:npad, :128], jnp.uint32) & jnp.uint32(1)
+        return carry ^ d, out[0, 0]
+
+    def many(n):
+        @jax.jit
+        def fn():
+            c, _ = jax.lax.scan(one_pass, jnp.zeros((npad, 128), jnp.uint32), None, length=n)
+            return c[0, 0]
+
+        return fn
+
+    per = slope(many, 1, 9)
+    record("mt32_planner_decode_B12", nbq * size0 / (1 << 20) / per, "MiB/s", 13207.0)
+
+    # same bucket through the masked single-block path (the 2x baseline)
+    arrs_s, kw_s = K.build_bucket_arrays(blk, wc, stream, BITS, 1, 32)
+    dev_s = [jnp.asarray(a) for a in arrs_s]
+
+    def one_pass_s(carry, _):
+        o = K._decode_blocks(*dev_s[:7], dev_s[7] ^ carry, **kw_s)
+        d = jax.lax.bitcast_convert_type(o[: dev_s[7].shape[0], :128], jnp.uint32) & jnp.uint32(1)
+        return carry ^ d, o[0, 0]
+
+    def many_s(n):
+        @jax.jit
+        def fn():
+            c, _ = jax.lax.scan(one_pass_s, jnp.zeros(dev_s[7].shape, jnp.uint32), None, length=n)
+            return c[0, 0]
+
+        return fn
+
+    per_s = slope(many_s, 1, 9)
+    record("mt32_single_decode_B12", nbq * size0 / (1 << 20) / per_s, "MiB/s", None)
+
+
 def bench_mt_device_encode(corpus, bs, nb, label):
     """Device mt encode (phase A + segmented stream concat) chained
     on-device; the wire mux stays on the host as in the reference.
@@ -391,6 +539,9 @@ def main() -> None:
     # verdict-tracked metrics land first
     steps = [
         lambda: bench_mt(corpus_big),
+        bench_mt_xray,
+        lambda: bench_tpx_adaptive(corpus),
+        lambda: bench_mt32_quad(corpus_big[: 32 << 20]),
         lambda: bench_mt_device_encode(corpus_big, 4096, 512, "mt_device_encode_4k"),
         lambda: bench_mt_device_encode(corpus_big, 65536, 512, "mt_device_encode_planner"),
         bench_ref_pairs,

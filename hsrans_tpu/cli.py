@@ -105,16 +105,23 @@ def _build_codecs(args) -> list[dict]:
                 )
         if args["tpx"]:
             if args["backend"] == "numpy":
+                from .ops.tpx import tpx_encode_adaptive
+
                 enc = (lambda b: lambda d: tpx_encode(d, b))(bits)
                 dec = (lambda b: lambda c: tpx_decode(c))(bits)
+                enc_a = (lambda b: lambda d: tpx_encode_adaptive(d, b))(bits)
+                dec_a = dec
             else:
                 from .kernels.tpx_decode import tpx_decode_tpu
-                from .kernels.tpx_encode import tpx_encode_tpu
+                from .kernels.tpx_encode import tpx_encode_adaptive_tpu, tpx_encode_tpu
 
                 interp = args["backend"] == "interpret"
                 enc = (lambda b, it=interp: lambda d: tpx_encode_tpu(d, b, interpret=it))(bits)
                 dec = (lambda b, it=interp: lambda c: tpx_decode_tpu(c, interpret=it))(bits)
+                enc_a = (lambda b, it=interp: lambda d: tpx_encode_adaptive_tpu(d, b, interpret=it))(bits)
+                dec_a = dec
             add("tpx rANS32x128x1024", enc, dec, bits)
+            add("tpx adaptive (v3)", enc_a, dec_a, bits)
     return codecs
 
 

@@ -936,10 +936,11 @@ def build_pair_arrays(
     n_buckets = (1 << bits) // 32
     small_rank = all(int(np.count_nonzero(b.freq)) <= 128 for b in kernel_blocks[:nbp])
     # bits <= 11: both blocks' c0/bm tables fit one 128-lane operand (<= 64
-    # buckets each); <= 64 nonzero symbols per block additionally merges the
-    # rank tables.  Halves the table gathers per step (see _mt64_pair_kernel).
+    # buckets each); <= 64 nonzero symbols per block merges the rank tables
+    # the same way (at ANY depth <= 12 — the conditions are independent).
+    # Each merge halves that table's gathers per step (see _mt64_pair_kernel).
     merged_cb = bits <= 11
-    rank64 = merged_cb and all(int(np.count_nonzero(b.freq)) <= 64 for b in kernel_blocks[:nbp])
+    rank64 = all(int(np.count_nonzero(b.freq)) <= 64 for b in kernel_blocks[:nbp])
     for i in range(nbp):
         b = kernel_blocks[i]
         hist = complete_hist(b.freq, bits)

@@ -426,110 +426,163 @@ def tpx_encode_tpu(
     bits = p.bits
     if p.lanes != L or p.steps % 4 or p.rows % 8:
         raise ValueError("kernel encode requires lanes=128, steps%4==0, rows%8==0")
-    s4c = p.steps // 4
-    # rc=128 keeps the concat kernel's double-buffered win/out blocks inside
-    # VMEM (rc=256 oversubscribes and the remote compile helper dies); it
-    # must also divide p.rows or the concat grid drops the trailing rows.
-    rc = divisor_le(p.rows, 128)
-    wcap = -(-(p.steps * L // 2) // 128) * 128
 
     out = tpx_header(length, p)
-
     for mega_base, n_tiles, valid_bytes in _mega_layout(length, p):
-        row_span = n_tiles * p.steps * p.lanes
-        n_valid = min(valid_bytes, p.rows * row_span)
-        flat = np.zeros(p.rows * row_span, dtype=np.uint8)
-        flat[:n_valid] = arr[mega_base : mega_base + n_valid]
-        packed = flat.view("<i4").reshape(n_tiles, p.rows, s4c * L)
+        _device_mega_into(
+            out, arr, mega_base, n_tiles, valid_bytes, bits=bits,
+            rows=p.rows, steps=p.steps, interpret=interpret,
+            device_tables=device_tables,
+        )
+    out[16:24] = len(out).to_bytes(8, "little")
+    return bytes(out)
 
-        # per-tile histograms: tile t's bytes are the contiguous wire range
-        # [t*rows*steps*L, ...); absent trailing tiles get the 1-symbol hist.
-        tile_bytes = p.rows * p.steps * L
-        if device_tables:
-            from ..models.jax_hist import observe_device
 
-            tile_freqs = []
-            per_tile = []
-            for t in range(n_tiles):
-                tb = flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)]
-                if tb.size:
-                    counts = observe_device(jnp.asarray(tb))
-                    nbytes = jnp.int32(tb.size)
-                else:
-                    counts = jnp.zeros(256, jnp.uint32).at[0].set(1)
-                    nbytes = jnp.int32(1)
-                per_tile.append(_device_tile_tables(counts, nbytes, bits=bits))
-            tile_freqs = [np.asarray(x[0]) for x in per_tile]
-            fc_lo = jnp.stack([x[1][0] for x in per_tile])
-            fc_hi = jnp.stack([x[1][1] for x in per_tile])
-            m_lo = jnp.stack([x[2][0] for x in per_tile])
-            m_hi = jnp.stack([x[2][1] for x in per_tile])
-            if bits <= 12:
-                l_lo = l_hi = jnp.zeros((n_tiles, 8, 128), jnp.int32)
+def _device_mega_into(
+    out: bytearray,
+    arr: np.ndarray,
+    mega_base: int,
+    n_tiles: int,
+    valid_bytes: int,
+    *,
+    bits: int,
+    rows: int,
+    steps: int,
+    interpret: bool = False,
+    device_tables: bool = False,
+) -> None:
+    """Device-encode one megablock at the given geometry and append its wire
+    section — the per-mega unit both the uniform (v2) and adaptive (v3)
+    device encoders share; bytes match _encode_mega_into exactly."""
+    s4c = steps // 4
+    # rc=128 keeps the concat kernel's double-buffered win/out blocks inside
+    # VMEM (rc=256 oversubscribes and the remote compile helper dies); it
+    # must also divide rows or the concat grid drops the trailing rows.
+    rc = divisor_le(rows, 128)
+    row_span = n_tiles * steps * L
+    n_valid = min(valid_bytes, rows * row_span)
+    flat = np.zeros(rows * row_span, dtype=np.uint8)
+    flat[:n_valid] = arr[mega_base : mega_base + n_valid]
+    packed = flat.view("<i4").reshape(n_tiles, rows, s4c * L)
+
+    # per-tile histograms: tile t's bytes are the contiguous wire range
+    # [t*rows*steps*L, ...); absent trailing tiles get the 1-symbol hist.
+    tile_bytes = rows * steps * L
+    if device_tables:
+        from ..models.jax_hist import observe_device
+
+        tile_freqs = []
+        per_tile = []
+        for t in range(n_tiles):
+            tb = flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)]
+            if tb.size:
+                counts = observe_device(jnp.asarray(tb))
+                nbytes = jnp.int32(tb.size)
             else:
-                l_lo = jnp.stack([x[3][0] for x in per_tile])
-                l_hi = jnp.stack([x[3][1] for x in per_tile])
+                counts = jnp.zeros(256, jnp.uint32).at[0].set(1)
+                nbytes = jnp.int32(1)
+            per_tile.append(_device_tile_tables(counts, nbytes, bits=bits))
+        tile_freqs = [np.asarray(x[0]) for x in per_tile]
+        fc_lo = jnp.stack([x[1][0] for x in per_tile])
+        fc_hi = jnp.stack([x[1][1] for x in per_tile])
+        m_lo = jnp.stack([x[2][0] for x in per_tile])
+        m_hi = jnp.stack([x[2][1] for x in per_tile])
+        if bits <= 12:
+            l_lo = l_hi = jnp.zeros((n_tiles, 8, 128), jnp.int32)
         else:
-            hists = [
-                make_tile_hist(flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)], bits)
-                for t in range(n_tiles)
-            ]
-            tile_freqs = [h.symbol_count for h in hists]
+            l_lo = jnp.stack([x[3][0] for x in per_tile])
+            l_hi = jnp.stack([x[3][1] for x in per_tile])
+    else:
+        hists = [
+            make_tile_hist(flat[t * tile_bytes : min((t + 1) * tile_bytes, n_valid)], bits)
+            for t in range(n_tiles)
+        ]
+        tile_freqs = [h.symbol_count for h in hists]
 
-            def pack_tab(key):
-                lo = np.zeros((n_tiles, 8, 128), np.int32)
-                hi = np.zeros((n_tiles, 8, 128), np.int32)
-                for t in range(n_tiles):
-                    tab = make_enc_tables(hists[t])[key]
-                    lo[t, 0, :] = tab[:128]
-                    hi[t, 0, :] = tab[128:]
-                return jnp.asarray(lo), jnp.asarray(hi)
+        def pack_tab(key):
+            lo = np.zeros((n_tiles, 8, 128), np.int32)
+            hi = np.zeros((n_tiles, 8, 128), np.int32)
+            for t in range(n_tiles):
+                tab = make_enc_tables(hists[t])[key]
+                lo[t, 0, :] = tab[:128]
+                hi[t, 0, :] = tab[128:]
+            return jnp.asarray(lo), jnp.asarray(hi)
 
-            fc_lo, fc_hi = pack_tab("fc")
-            m_lo, m_hi = pack_tab("m")
-            if bits <= 12:  # shift lives inside fc; don't build/ship dead tables
-                l_lo = l_hi = jnp.zeros((n_tiles, 8, 128), jnp.int32)
-            else:
-                l_lo, l_hi = pack_tab("l")
-        vlen = jnp.asarray(np.array([[n_valid]], np.int32))
+        fc_lo, fc_hi = pack_tab("fc")
+        m_lo, m_hi = pack_tab("m")
+        if bits <= 12:  # shift lives inside fc; don't build/ship dead tables
+            l_lo = l_hi = jnp.zeros((n_tiles, 8, 128), jnp.int32)
+        else:
+            l_lo, l_hi = pack_tab("l")
+    vlen = jnp.asarray(np.array([[n_valid]], np.int32))
 
-        win, cntp, states = _encode_mega(
-            vlen, fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, jnp.asarray(packed),
-            rows=p.rows, s4c=s4c, n_tiles=n_tiles, bits=bits, interpret=interpret,
+    win, cntp, states = _encode_mega(
+        vlen, fc_lo, fc_hi, m_lo, m_hi, l_lo, l_hi, jnp.asarray(packed),
+        rows=rows, s4c=s4c, n_tiles=n_tiles, bits=bits, interpret=interpret,
+    )
+    cnt = _unpack_counts(cntp, s4c=s4c)
+
+    counts_steps = np.asarray(cnt[:, :, : steps], np.int64)  # [T, R, S]
+    counts = counts_steps.sum(axis=2)  # words per (t, row)
+    max_words = int(counts.max()) if counts.size else 0
+    w_slots = max(128, -(-(-(-max_words // 2)) // 128) * 128)
+
+    # Segment the concat along the step axis (cost is O(output chunks x
+    # steps scanned) per tile — phase B was 73% of encode time); the
+    # mega writer joins the ragged per-segment pieces at byte level.
+    c16 = divisor_le(steps, 16)  # largest divisor <= 16, so segs*c16 == steps exactly
+    segs = steps // c16
+    seg_words = counts_steps.reshape(n_tiles, rows, segs, c16).sum(axis=3)  # [T, R, S]
+    wq_t = np.maximum(1, -(-(-(-seg_words.max(axis=1).reshape(-1)) // 2) // 128))
+    cnt_seg = jnp.pad(
+        jnp.transpose(
+            cnt[:, :, : steps].reshape(n_tiles, rows, segs, c16), (0, 2, 1, 3)
+        ).reshape(n_tiles * segs, rows, c16),
+        ((0, 0), (0, 0), (0, 128 - c16)),
+    )
+    stream_full = _concat_mega(
+        jnp.asarray(wq_t[:, None].astype(np.int32)),
+        win.reshape(n_tiles * segs, c16, rows, 128),
+        cnt_seg,
+        rows=rows, rc=rc, steps=c16, wcap=c16 * L // 2,
+        n_tiles=n_tiles * segs, interpret=interpret,
+    )
+    _write_mega_segs(
+        out, n_tiles, w_slots, np.asarray(states), tile_freqs,
+        counts.astype(np.uint16),
+        np.asarray(stream_full).reshape(n_tiles, segs, rows, -1),
+        seg_words,
+    )
+
+
+def tpx_encode_adaptive_tpu(
+    data: bytes | np.ndarray,
+    bits: int = 12,
+    interpret: bool = False,
+    device_tables: bool = False,
+) -> bytes:
+    """Device encode to the v3 adaptive wire (per-megablock geometry from
+    `tpx_plan_geometry`); bit-identical to ops.tpx.tpx_encode_adaptive."""
+    from ..ops.tpx import MAGIC3, tpx_plan_geometry
+
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    length = arr.size
+    geoms = tpx_plan_geometry(arr, bits)
+
+    out = bytearray()
+    out += MAGIC3
+    out += length.to_bytes(8, "little")
+    out += b"\0" * 8
+    g0 = geoms[0]
+    for v in (bits, g0.rows, L, g0.steps, g0.n_tiles):
+        out += int(v).to_bytes(4, "little")
+    for g in geoms:
+        out += int(g.rows).to_bytes(4, "little")
+        out += int(g.steps).to_bytes(4, "little")
+        _device_mega_into(
+            out, arr, g.base, g.n_tiles, max(0, min(length - g.base, g.span)),
+            bits=bits, rows=g.rows, steps=g.steps, interpret=interpret,
+            device_tables=device_tables,
         )
-        cnt = _unpack_counts(cntp, s4c=s4c)
-
-        counts_steps = np.asarray(cnt[:, :, : p.steps], np.int64)  # [T, R, S]
-        counts = counts_steps.sum(axis=2)  # words per (t, row)
-        max_words = int(counts.max()) if counts.size else 0
-        w_slots = max(128, -(-(-(-max_words // 2)) // 128) * 128)
-
-        # Segment the concat along the step axis (cost is O(output chunks x
-        # steps scanned) per tile — phase B was 73% of encode time); the
-        # mega writer joins the ragged per-segment pieces at byte level.
-        c16 = divisor_le(p.steps, 16)  # largest divisor <= 16, so segs*c16 == steps exactly
-        segs = p.steps // c16
-        seg_words = counts_steps.reshape(n_tiles, p.rows, segs, c16).sum(axis=3)  # [T, R, S]
-        wq_t = np.maximum(1, -(-(-(-seg_words.max(axis=1).reshape(-1)) // 2) // 128))
-        cnt_seg = jnp.pad(
-            jnp.transpose(
-                cnt[:, :, : p.steps].reshape(n_tiles, p.rows, segs, c16), (0, 2, 1, 3)
-            ).reshape(n_tiles * segs, p.rows, c16),
-            ((0, 0), (0, 0), (0, 128 - c16)),
-        )
-        stream_full = _concat_mega(
-            jnp.asarray(wq_t[:, None].astype(np.int32)),
-            win.reshape(n_tiles * segs, c16, p.rows, 128),
-            cnt_seg,
-            rows=p.rows, rc=rc, steps=c16, wcap=c16 * p.lanes // 2,
-            n_tiles=n_tiles * segs, interpret=interpret,
-        )
-        _write_mega_segs(
-            out, n_tiles, w_slots, np.asarray(states), tile_freqs,
-            counts.astype(np.uint16),
-            np.asarray(stream_full).reshape(n_tiles, segs, p.rows, -1),
-            seg_words,
-        )
-
     out[16:24] = len(out).to_bytes(8, "little")
     return bytes(out)

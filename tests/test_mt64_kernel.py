@@ -178,11 +178,12 @@ def test_mt64_kernel_low_bits(bits):
     assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
 
 
-@pytest.mark.parametrize("bits", (10, 11))
+@pytest.mark.parametrize("bits", (10, 11, 12))
 def test_mt64_kernel_rank64_small_alphabet(bits):
-    """<= 64 distinct symbols per block at bits <= 11 engages the fully
-    merged table layout (rank64): one gather serves both paired blocks'
-    c0/bm AND rank tables (build_pair_arrays packs B into lanes 64..)."""
+    """<= 64 distinct symbols per block engages the merged rank-table
+    layout (rank64) at any depth <= 12: one gather serves both paired
+    blocks' rank tables (build_pair_arrays packs B into lanes 64..); at
+    bits <= 11 the c0/bm tables merge too."""
     from hsrans_tpu.kernels.mt64_decode import (
         block_index,
         block_word_counts,

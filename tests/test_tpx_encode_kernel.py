@@ -118,3 +118,21 @@ def test_divisor_le_sublane_legal():
     for n in (8, 136, 184, 256, 1024, 968):
         d = divisor_le(n, 128)
         assert d % 8 == 0 and n % d == 0 and d <= 128, (n, d)
+
+
+def test_tpx_adaptive_device_encode_matches_authority():
+    """v3 adaptive device encode is bit-identical to the numpy authority
+    and roundtrips through every decode tier."""
+    import numpy as np
+    from pathlib import Path
+
+    from hsrans_tpu.kernels.tpx_decode import tpx_decode_tpu
+    from hsrans_tpu.kernels.tpx_encode import tpx_encode_adaptive_tpu
+    from hsrans_tpu.ops.tpx import tpx_decode, tpx_encode_adaptive
+
+    arr = np.fromfile(Path(__file__).parent / "corpus" / "corpus.bin", np.uint8)[: 2 << 20]
+    host = tpx_encode_adaptive(arr, 12)
+    dev = tpx_encode_adaptive_tpu(arr, 12, interpret=True)
+    assert dev == host
+    assert tpx_decode(dev) == arr.tobytes()
+    assert tpx_decode_tpu(dev, interpret=True) == arr.tobytes()
