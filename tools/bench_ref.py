@@ -142,11 +142,13 @@ def run_ours(corpus: np.ndarray, bits: int, families: str, reps: int = 3) -> dic
         pair("raw_x16", "hsr_raw_encode", "hsr_raw_decode", 16)
     if "block" in families:
         pair("block_x64", "hsr_block_encode", "hsr_block_decode")
+        pair("block_x32", "hsr_block_encode", "hsr_block_decode", 32)
     if "mt" in families:
-        blob = pair("mt_x64", "hsr_mt_encode", "hsr_mt_decode", 64, 1)
-        if blob is not None:
-            _, tmt = _best(lambda: native.codec_call_len("hsr_mt_decode", blob, obuf, bits, 64, 0), reps=reps)
-            out["mt_x64"]["decode_mt"] = mb / tmt
+        for n in (64, 32):
+            blob = pair(f"mt_x{n}", "hsr_mt_encode", "hsr_mt_decode", n, 1)
+            if blob is not None:
+                _, tmt = _best(lambda: native.codec_call_len("hsr_mt_decode", blob, obuf, bits, n, 0), reps=reps)
+                out[f"mt_x{n}"]["decode_mt"] = mb / tmt
     if "32blk" in families:
         for wb in (16, 8):
             pair(f"blk32_{wb}w", "hsr_blk32_encode", "hsr_blk32_decode", wb)
@@ -158,7 +160,9 @@ REF_NAME = {
     "raw_x32": "rANS32x32 16w (raw)",
     "raw_x16": "rANS32x16 16w (raw)",
     "block_x64": "rANS32x64 16w (variable block size)",
+    "block_x32": "rANS32x32 16w (variable block size)",
     "mt_x64": "rANS32x64 16w (independent blocks)",
+    "mt_x32": "rANS32x32 16w (independent blocks)",
     "blk32_16w": "rANS32x32 32blk 16w (raw)",
     "blk32_8w": "rANS32x32 32blk 8w (raw)",
 }
@@ -253,7 +257,19 @@ def main() -> None:
         if a.startswith("--rounds"):
             rounds = int(a.split("=", 1)[1])
     rows = head_to_head(corpus, bits_list, rounds=rounds)
-    with open(REPO / "BENCH_REF.json", "w") as f:
+    # merge with existing rows (same family/bits/op replaced, others kept)
+    # so a partial-depth run never silently drops the rest of the matrix
+    out_path = REPO / "BENCH_REF.json"
+    if out_path.exists():
+        try:
+            old = json.load(open(out_path))
+            have = {(r["family"], r["bits"], r["op"]) for r in rows}
+            rows += [r for r in old.get("rows", [])
+                     if (r["family"], r["bits"], r["op"]) not in have]
+            rows.sort(key=lambda r: (r["bits"], r["family"], r["op"]))
+        except (json.JSONDecodeError, KeyError):
+            pass
+    with open(out_path, "w") as f:
         json.dump({"corpus": str(corpus), "host": os.uname().nodename,
                    "rounds": rounds, "rows": rows}, f, indent=1)
     hdr = (f"{'family':<10} {'B':>2} {'op':<9} {'ours MiB/s':>11} {'ref MiB/s':>10} "
