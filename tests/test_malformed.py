@@ -156,3 +156,47 @@ def test_blk32_payload_bitflips_safe():
         if native.load() is not None:
             out_n = native.blk32_decode(b, 12, 16)
             assert out_n is None or isinstance(out_n, bytes)
+
+
+def test_tpx_v3_truncations_and_bitflips_safe():
+    """The adaptive (per-mega geometry) wire gets the same error model:
+    truncations and arbitrary byte corruption never raise or OOB — the
+    per-mega rows/steps fields are plausibility-gated at parse."""
+    from hsrans_tpu.ops.tpx import tpx_encode_adaptive
+
+    rng = np.random.default_rng(61)
+    blob = tpx_encode_adaptive(_data(), 12)
+    assert tpx_decode(blob) == _data().tobytes()
+    for t in _truncations(blob):
+        out = tpx_decode(t)
+        assert out is None or isinstance(out, bytes)
+    for b in _payload_flips(blob, rng, n_flips=80):
+        out = tpx_decode(b)
+        assert out is None or isinstance(out, bytes)
+    # targeted stomps on the per-mega geometry fields (rows/steps at offset
+    # 44, right after the global header)
+    for pos in (44, 45, 48, 49):
+        for val in (0x00, 0xFF, 0x80):
+            b = bytearray(blob)
+            b[pos] = val
+            out = tpx_decode(bytes(b))
+            assert out is None or isinstance(out, bytes)
+
+
+def test_mt32_quad_payload_bitflips_safe():
+    """Corrupted n=32 blobs through the quad kernel path: None or bytes,
+    never a crash/OOB (matches the reference's defensive decode)."""
+    from hsrans_tpu.kernels.mt64_decode import mt64_decode_tpu
+    from hsrans_tpu.ops.mt import mt_encode
+    from hsrans_tpu.parallel.sharded import uniform_plan
+
+    rng = np.random.default_rng(67)
+    data = _data()
+    blob = mt_encode(data, 12, 32, plan=uniform_plan(data, 12, 32, 4096))
+    assert mt64_decode_tpu(blob, 12, interpret=True, n=32) == data.tobytes()
+    for b in _payload_flips(blob, rng, n_flips=40):
+        try:
+            out = mt64_decode_tpu(b, 12, interpret=True, n=32)
+        except Exception as e:  # noqa: BLE001 — the contract is None-or-bytes
+            raise AssertionError(f"quad decode raised on corrupt blob: {e}")
+        assert out is None or isinstance(out, bytes)
