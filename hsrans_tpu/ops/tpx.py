@@ -355,6 +355,9 @@ def tpx_plan_geometry(arr: np.ndarray, bits: int) -> list[MegaGeom]:
         n_tiles = max(1, (end - base) // tile_span)
         if base + n_tiles * tile_span >= length:
             n_tiles = max(1, -(-(length - base) // tile_span))
+        # cap tiles per mega (TpxParams.auto's bound): bounds the encoder's
+        # resident flat buffer; a long homogeneous span just repeats megas
+        n_tiles = min(n_tiles, 64)
         out.append(MegaGeom(base, rows, steps, n_tiles))
         base += n_tiles * tile_span
     return out
