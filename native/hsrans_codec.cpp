@@ -124,6 +124,7 @@ struct DecTable {
   // (the hist_dec2_t shape, hist.h:32-37, as one packed word).
   std::vector<uint32_t> pack;
   std::vector<uint8_t> sym;
+  std::vector<uint32_t> fcslot;  // B>=13, n=16 only: fc per SLOT
   uint32_t freq[256];
   uint32_t cumul[256];
   uint32_t fcsym[256];
@@ -131,7 +132,8 @@ struct DecTable {
   bool packed;
 };
 
-bool build_dec_table(const uint16_t freq[256], uint32_t bits, DecTable *t) {
+bool build_dec_table(const uint16_t freq[256], uint32_t bits, DecTable *t,
+                     bool d8_path = false) {
   const uint32_t total = 1u << bits;
   uint64_t sum = 0;
   for (int i = 0; i < 256; i++) sum += freq[i];
@@ -150,11 +152,22 @@ bool build_dec_table(const uint16_t freq[256], uint32_t bits, DecTable *t) {
     }
   } else {
     t->sym.resize(total + 4);  // +4: the slot byte-gather reads 32 bits
+    if (d8_path) t->fcslot.resize(total);
     for (uint32_t s = 0; s < 256; s++) {
       t->freq[s] = freq[s];
       t->cumul[s] = c;
       t->fcsym[s] = freq[s] | (c << 16);
       memset(t->sym.data() + c, (int)s, freq[s]);
+      if (d8_path && freq[s]) {
+        // fc duplicated per SLOT (constant across a symbol's run):
+        // 16 states = 1 zmm, so the by-symbol fc gather CHAINED on the
+        // slot-byte gather has nothing to overlap with — indexing both
+        // tables by slot makes the two gathers independent and halves
+        // the group's serial latency (the reference's hist_dec2_t
+        // rationale, hist.h:32-37, for its 16-state codec)
+        const uint32_t e = (uint32_t)freq[s] | (c << 16);
+        std::fill(t->fcslot.begin() + c, t->fcslot.begin() + c + freq[s], e);
+      }
       c += freq[s];
     }
   }
@@ -446,7 +459,7 @@ int64_t hsr_raw_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
   uint16_t freq[256];
   memcpy(freq, blob + 16, 512);
   DecTable t;
-  if (!build_dec_table(freq, bits, &t)) return -1;
+  if (!build_dec_table(freq, bits, &t, n == 16 && bits >= 13)) return -1;
   Coder co;
   init_coder(&co, n);
   memcpy(co.states, blob + 16 + 512, 4ull * n);
@@ -565,7 +578,7 @@ int64_t hsr_block_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
       uint16_t freq[256];
       memcpy(freq, stream + r, 512);
       r += 256;
-      if (!build_dec_table(freq, bits, &t)) return -1;
+      if (!build_dec_table(freq, bits, &t, n == 16 && bits >= 13)) return -1;
       have_table = true;
       uint64_t block_end = i + val;
       if (block_end > out_len_states) block_end = out_len_states;
@@ -675,7 +688,7 @@ void mt_block_worker(void *arg) {
   DecTable t;
   uint16_t freq[256];
   memcpy(freq, b->freq, 512);
-  if (!build_dec_table(freq, b->bits, &t)) {
+  if (!build_dec_table(freq, b->bits, &t, b->n == 16 && b->bits >= 13)) {
     b->fail->store(1);
     return;
   }
@@ -1159,7 +1172,7 @@ bool avx512vbmi2_ok() {
 // more than the fused load saves.)  Measured on Sapphire Rapids: N=64
 // 2.33 GB/s vs 2.0 ymm / 1.9 reference; N=16 also faster; N=32 slower
 // (two chains can't hide the gather latency), so x32 keeps the ymm path.
-template <uint32_t N, bool kPacked>
+template <uint32_t N, bool kPacked, bool kD8 = false>
 __attribute__((target("avx2,avx512f,avx512bw,avx512vbmi,avx512vbmi2,avx512vl")))
 uint64_t decode_groups_avx512_zmm_t(Coder *co, const DecTable *t, const uint16_t *stream16,
                                     uint64_t safe_r, uint64_t r, uint8_t *out,
@@ -1200,7 +1213,15 @@ uint64_t decode_groups_avx512_zmm_t(Coder *co, const DecTable *t, const uint16_t
     if (r > safe_r) break;  // caller handles tail / malformed
     __m512i slot[NV], pck[NV], symv[NV], sym[NV];
     for (int v = 0; v < NV; v++) slot[v] = _mm512_and_si512(st[v], slot_mask);
-    if (kPacked) {
+    if constexpr (kD8) {
+      // n=16: ONE zmm of states means the by-symbol fc gather CHAINED on
+      // the slot-byte gather has nothing to overlap with; with fc
+      // duplicated per slot both gathers index by slot and issue in
+      // PARALLEL — the group's serial latency drops by a gather.
+      const int *fcs = (const int *)t->fcslot.data();
+      pck[0] = _mm512_i32gather_epi32(slot[0], fcs, 4);
+      symv[0] = _mm512_and_si512(_mm512_i32gather_epi32(slot[0], sym_tab, 1), lo8);
+    } else if (kPacked) {
       for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(slot[v], pk, 4);
     } else {
       for (int v = 0; v < NV; v++)
@@ -1257,9 +1278,11 @@ template <uint32_t N>
 uint64_t decode_groups_avx512_zmm(Coder *co, const DecTable *t, const uint16_t *stream,
                                   uint64_t safe_r, uint64_t r, uint8_t *out,
                                   uint64_t out_pos, uint64_t num_groups, uint64_t *g_done) {
-  return t->packed
-             ? decode_groups_avx512_zmm_t<N, true>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done)
-             : decode_groups_avx512_zmm_t<N, false>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done);
+  if (t->packed)
+    return decode_groups_avx512_zmm_t<N, true>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done);
+  if (N == 16 && !t->fcslot.empty())
+    return decode_groups_avx512_zmm_t<N, false, true>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done);
+  return decode_groups_avx512_zmm_t<N, false>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done);
 }
 
 // 32blk encode: emissions scatter to a [slot, lane] SOA scratch (each
