@@ -510,6 +510,17 @@ def mt64_decode_tpu(
                 blk, wc, idxs = blk[nbp:], wc[nbp:], idxs[nbp:]
                 if not idxs:
                     continue
+        if _USE_PAIR_KERNEL and n == 32 and bits > 12 and len(idxs) >= 2:
+            # one x32 block per 64-lane half of the flat-rank pair kernel
+            # (2x the masked single path's occupancy)
+            nbp = len(idxs) // 2 * 2
+            rows2 = decode_bucket_paired(blk[:nbp], wc[:nbp], stream, bits, interpret, mesh, axis, n)
+            if rows2 is not None:
+                for j in range(nbp):
+                    decoded[idxs[j]] = rows2[j]
+                blk, wc, idxs = blk[nbp:], wc[nbp:], idxs[nbp:]
+                if not idxs:
+                    continue
         if _USE_PAIR_KERNEL and n == 32 and bits <= 12 and len(idxs) >= 4:
             # four n=32 blocks per 128-lane row (kernels/mt32_quad.py):
             # 4x the row occupancy of the masked single path; leftover
@@ -981,20 +992,23 @@ def decode_bucket_paired(
     interpret: bool,
     mesh=None,
     axis: str | tuple[str, ...] = "dp",
+    n: int = N,
 ) -> np.ndarray | None:
     """Decode an even-count bucket two blocks per row; returns
     [nbp, size] bytes for the paired prefix of the bucket.  B<=12 buckets
-    use the packed-rank pair kernel; B=13..15 the flat-rank variant."""
+    use the packed-rank pair kernel; B=13..15 the flat-rank variant
+    (which also takes n=32 blocks, one per half)."""
     if bits > 12:
         from ..parallel.sharded import axis_size
 
         n_dev_hb = axis_size(mesh, axis)
-        built = build_pair_arrays_hb(kernel_blocks, w_counts, stream, bits, n_dev_hb)
+        built = build_pair_arrays_hb(kernel_blocks, w_counts, stream, bits, n_dev_hb, n)
         if built is None:
             return None
         arrs, kw = built
         size0 = kernel_blocks[0].size
         npad = arrs[0].shape[1]
+        wn = n // 4  # valid wire u32 words per half per step
         if mesh is not None:
             # high-B pairs shard like the B<=12 path: row GROUPS split over
             # the mesh axis (tables/streams travel with their rows; ordered
@@ -1003,7 +1017,7 @@ def decode_bucket_paired(
 
             kwc = dict(
                 g_rows=kw["g_rows"], n_groups=kw["n_groups"] // n_dev_hb,
-                s4c=kw["s4c"], w_chunks=kw["w_chunks"], bits=bits,
+                s4c=kw["s4c"], w_chunks=kw["w_chunks"], bits=bits, n=n,
                 interpret=interpret,
             )
             fn = jax.shard_map(
@@ -1025,9 +1039,9 @@ def decode_bucket_paired(
             o = np.asarray(out_t)
             p = np.asarray(perm_t)
             s4c_t = o.shape[1] // 128
-            u32 = o.reshape(npad, s4c_t, 4, 2, 16)
-            a = np.ascontiguousarray(u32[:, :, :, 0, :]).view(np.uint8).reshape(npad, s4c_t * 256)
-            b = np.ascontiguousarray(u32[:, :, :, 1, :]).view(np.uint8).reshape(npad, s4c_t * 256)
+            u32 = o.reshape(npad, s4c_t, 4, 2, 16)[:, :, :, :, :wn]
+            a = np.ascontiguousarray(u32[:, :, :, 0, :]).view(np.uint8).reshape(npad, s4c_t * 16 * wn)
+            b = np.ascontiguousarray(u32[:, :, :, 1, :]).view(np.uint8).reshape(npad, s4c_t * 16 * wn)
             out[2 * p] = a
             out[2 * p + 1] = b
         return out
@@ -1374,6 +1388,7 @@ def _mt64_pair_kernel_hb(
     g_rows: int,
     bits: int,
     s4c_slice: int,
+    n: int = N,
 ):
     s4 = pl.program_id(1)
 
@@ -1389,6 +1404,9 @@ def _mt64_pair_kernel_hb(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
     is_b = lane >= 64
+    # n=32: one x32 block per half (lanes n.. of each half idle but the
+    # row still advances TWO blocks per step — 2x the masked single path)
+    active = (lane & 63) < n if n < 64 else None
 
     rwa = rw_scr[:, 0:1]
     rwb = rw_scr[:, 64:65]
@@ -1420,7 +1438,13 @@ def _mt64_pair_kernel_hb(
 
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tri_s8 = ((tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))).astype(jnp.int8)
+    tri_m = (tri_r < tri_c) & ((tri_r >= 64) == (tri_c >= 64))
+    if n < 64:
+        # restrict ROWS only (inactive lanes must not count), but keep all
+        # columns: tot_a/tot_b read columns 63/127, which accumulate the
+        # half's full consume sum through the unmasked upper columns
+        tri_m = tri_m & ((tri_r & 63) < n)
+    tri_s8 = tri_m.astype(jnp.int8)
 
     w_in_step = lane & 31
     wa = jnp.where(w_in_step < 16, w_in_step, w_in_step - 16)
@@ -1487,8 +1511,13 @@ def _mt64_pair_kernel_hb(
         )
         sym = pltpu.bitcast((s4v >> pltpu.bitcast((rank & 3) << 3, jnp.uint32)) & jnp.uint32(0xFF), jnp.int32)
 
-        states = (states >> jnp.uint32(bits)) * freq + slot - cum
-        consume = states < consume_point
+        new_states = (states >> jnp.uint32(bits)) * freq + slot - cum
+        if n < 64:
+            new_states = jnp.where(active, new_states, states)
+            consume = (new_states < consume_point) & active
+        else:
+            consume = new_states < consume_point
+        states = new_states
 
         prefix = jnp.dot(consume.astype(jnp.int8), tri_s8, preferred_element_type=jnp.int32)
         tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
@@ -1526,11 +1555,11 @@ def _mt64_pair_kernel_hb(
     out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
-def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_chunks, bits, interpret=False):
+def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, interpret=False):
     """The B>12 paired pallas_call over n_groups row groups (the unit a
     shard_map shards: each device runs its slice of the groups)."""
     K, npad = taba.shape[0], taba.shape[1]
-    kernel = functools.partial(_mt64_pair_kernel_hb, g_rows=g_rows, bits=bits, s4c_slice=s4c)
+    kernel = functools.partial(_mt64_pair_kernel_hb, g_rows=g_rows, bits=bits, s4c_slice=s4c, n=n)
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((K, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -1561,14 +1590,14 @@ def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_ch
     )(taba, tabb, stream, init, rw0)
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "interpret"))
-def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, interpret=False):
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "n", "interpret"))
+def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, interpret=False):
     """Paired decode for B=13..15 (no slicing: high-B buckets are few-row)."""
     npad = taba.shape[1]
     out, _states, _rw = _pairs_hb_call(
         taba, tabb, stream, init, jnp.zeros((npad, 128), jnp.int32),
         g_rows=g_rows, n_groups=n_groups, s4c=s4c, w_chunks=w_chunks,
-        bits=bits, interpret=interpret,
+        bits=bits, n=n, interpret=interpret,
     )
     return [(out, jnp.arange(npad, dtype=jnp.int32))]
 
@@ -1579,6 +1608,7 @@ def build_pair_arrays_hb(
     stream: np.ndarray,
     bits: int,
     n_dev: int = 1,
+    n: int = N,
 ) -> tuple[list[np.ndarray], dict] | None:
     """Operands for the B>12 paired kernel: per-half [K, 128] table stacks
     ([K, npad, 128], chunk-leading) + the same interleaved stream layout."""
@@ -1619,8 +1649,8 @@ def build_pair_arrays_hb(
         padded = np.zeros(w_chunks * 64, np.uint32)
         padded[: words.size // 2] = words[0::2] | (words[1::2] << np.uint32(16))
         stream_cm[:, p, 64 * hi : 64 * hi + 64] = padded.reshape(w_chunks, 64)
-        init[p, 64 * hi : 64 * hi + N] = b.states
+        init[p, 64 * hi : 64 * hi + n] = b.states
 
     arrs = [taba, tabb, stream_cm.view(np.int32), init]
-    kw = dict(g_rows=g_rows, n_groups=n_grp, s4c=size0 // 256, w_chunks=w_chunks, bits=bits)
+    kw = dict(g_rows=g_rows, n_groups=n_grp, s4c=size0 // (4 * n), w_chunks=w_chunks, bits=bits, n=n)
     return arrs, kw

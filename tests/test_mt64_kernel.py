@@ -205,6 +205,35 @@ def test_mt64_kernel_rank64_small_alphabet(bits):
     assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
 
 
+@pytest.mark.parametrize("bits", (14, 15))
+def test_mt32_pair_hb(bits):
+    """n=32 at B>=13 rides the flat-rank pair kernel (one x32 block per
+    64-lane half — 2x the masked single path's occupancy)."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(43)
+    data = text_like(rng, 250_000)
+    blob = mt_encode(data, bits, 32, plan=uniform_plan(data, bits, 32, 4096))
+    assert mt_decode(blob, bits, 32) == data.tobytes()
+    assert mt64_decode_tpu(blob, bits, interpret=True, n=32) == data.tobytes()
+
+
+def test_mt32_pair_hb_sharded():
+    import jax
+    from jax.sharding import Mesh
+
+    from tools.gen_inputs import text_like
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    mesh = Mesh(np.array(devs).reshape(len(devs)), ("dp",))
+    rng = np.random.default_rng(47)
+    data = text_like(rng, 400_000)
+    blob = mt_encode(data, 14, 32, plan=uniform_plan(data, 14, 32, 4096))
+    assert mt64_decode_tpu(blob, 14, interpret=True, n=32, mesh=mesh) == data.tobytes()
+
+
 @pytest.mark.parametrize("bits", (12, 13))
 def test_mt_kernel_n32(bits):
     """n=32 blobs on the same kernel: 16 steps x 32 lanes per grid step."""
