@@ -270,6 +270,9 @@ def bench_mt_xray():
         _mt_bucket_slope(blob, bits, f"mt_xray_decode_B{bits}", base)
 
 
+_INTERP = os.environ.get("HSRANS_BENCH_INTERPRET") == "1"  # CPU smoke runs
+
+
 def bench_tpx_adaptive(corpus):
     """v3 adaptive geometry: ratio and device decode rate on the SAME blob
     (the ratio<=0.60-and-fast row; groups of same-geometry megas chain
@@ -281,7 +284,7 @@ def bench_tpx_adaptive(corpus):
     from hsrans_tpu.kernels.tpx_encode import tpx_encode_adaptive_tpu
     from hsrans_tpu.ops.tpx import tpx_parse
 
-    blob = tpx_encode_adaptive_tpu(corpus, BITS)
+    blob = tpx_encode_adaptive_tpu(corpus, BITS, interpret=_INTERP)
     record("ratio_tpx_adaptive", len(blob) / corpus.size, "ratio")
     p, length, megas = tpx_parse(blob)
     groups: dict[tuple, list] = {}
@@ -304,7 +307,7 @@ def bench_tpx_adaptive(corpus):
             vlens[i, 0, 0] = min(length - m.base, m.span)
         dev = tuple(jnp.asarray(x) for x in packs + [K.chunk_major(stream), states])
         vl = jnp.asarray(vlens)
-        gspecs.append((dev, vl, dict(rows=rows, n_tiles=T, w_slots=w_max, steps=steps, bits=BITS)))
+        gspecs.append((dev, vl, dict(rows=rows, n_tiles=T, w_slots=w_max, steps=steps, bits=BITS, interpret=_INTERP)))
 
     def many(n):
         @jax.jit
@@ -365,6 +368,7 @@ def bench_mt32_quad(corpus):
     kwc = dict(
         g_rows=kw["g_rows"], n_groups=kw["n_groups"], s4c=kw["s4c"],
         w_chunks=kw["w_chunks"], bits=BITS, rank_mode=kw["rank_mode"],
+        interpret=_INTERP,
     )
 
     def one_pass(carry, _):
@@ -386,6 +390,8 @@ def bench_mt32_quad(corpus):
     # same bucket through the masked single-block path (the 2x baseline)
     arrs_s, kw_s = K.build_bucket_arrays(blk, wc, stream, BITS, 1, 32)
     dev_s = [jnp.asarray(a) for a in arrs_s]
+
+    kw_s = dict(kw_s, interpret=_INTERP)
 
     def one_pass_s(carry, _):
         o = K._decode_blocks(*dev_s[:7], dev_s[7] ^ carry, **kw_s)
