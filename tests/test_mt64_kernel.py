@@ -149,6 +149,77 @@ def test_reference_binary_decodes_our_uniform_blob(ref_mt_drive, tmp_path):
     assert got_h == f"{fnv1a(data.tobytes()):016x}"
 
 
+@pytest.fixture(scope="session")
+def ref_mt32_drive(tmp_path_factory):
+    """Compile the unmodified reference mt x32 B13 decoder (interop oracle
+    for the n=32 pair/quad kernel wire)."""
+    ref = Path("/root/reference/src")
+    if not ref.exists() or shutil.which("g++") is None:
+        pytest.skip("reference sources or g++ unavailable")
+    out = tmp_path_factory.mktemp("refdrive32") / "ref_mt32_drive"
+    src = out.parent / "drive32.cpp"
+    src.write_text(
+        r"""
+#include <cstdio>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+#include "hist.h"
+#include "mt_rANS32x32_16w.h"
+static uint64_t fnv1a(const uint8_t *p, size_t n) {
+  uint64_t h = 1469598103934665603ull;
+  for (size_t i = 0; i < n; i++) { h ^= p[i]; h *= 1099511628211ull; }
+  return h;
+}
+int main(int argc, char **argv) {
+  FILE *f = fopen(argv[1], "rb");
+  fseek(f, 0, SEEK_END); long sz = ftell(f); fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> blob(sz); fread(blob.data(), 1, sz, f); fclose(f);
+  size_t raw = strtoull(argv[2], nullptr, 10);
+  std::vector<uint8_t> out(raw + 256);
+  size_t got = mt_rANS32x32_16w_decode_13(blob.data(), sz, out.data(), raw);
+  printf("%zu %016llx\n", got, (unsigned long long)fnv1a(out.data(), raw));
+  return 0;
+}
+"""
+    )
+    srcs = [
+        "mt_rANS32x32_16w_encode.cpp",
+        "mt_rANS32x32_16w_decode.cpp",
+        "rANS32x32_16w.cpp",
+        "hist.cpp",
+        "simd_platform.c",
+        "thread_pool.cpp",
+    ]
+    cmd = ["g++", "-O2", "-std=c++20", "-mxsave", f"-I{ref}", str(src)]
+    cmd += [str(ref / s) for s in srcs] + ["-o", str(out), "-lpthread"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    if r.returncode != 0:
+        pytest.skip(f"reference build failed: {r.stderr[:200]}")
+    return out
+
+
+def test_reference_binary_decodes_our_mt32_blob(ref_mt32_drive, tmp_path):
+    """Wire interop for the n=32 high-B path: the unmodified C++ reference
+    decodes the same B13 x32 blob our pair kernel decodes."""
+    from hsrans_tpu.runtime.native import fnv1a
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(49)
+    data = text_like(rng, 300_000)
+    blob = mt_encode(data, 13, 32, plan=uniform_plan(data, 13, 32, 4096))
+    assert mt64_decode_tpu(blob, 13, interpret=True, n=32) == data.tobytes()
+    p = tmp_path / "b32.blob"
+    p.write_bytes(blob)
+    r = subprocess.run(
+        [str(ref_mt32_drive), str(p), str(data.size)], capture_output=True, text=True, timeout=120
+    )
+    got_n, got_h = r.stdout.split()
+    assert int(got_n) == data.size
+    assert got_h == f"{fnv1a(data.tobytes()):016x}"
+
+
 def test_mt64_kernel_sharded_mesh():
     """Blocks sharded over the virtual mesh via shard_map around the kernel."""
     import jax
