@@ -111,7 +111,9 @@ def block_decode(blob: bytes | np.ndarray, bits: int, n: int) -> bytes | None:
     """
     from ..runtime import native
 
-    if native.load() is not None:
+    # native implements the reference widths (32/64); other n fall back
+    # to the numpy authority rather than reading native's -1 as malformed
+    if native.load() is not None and n in (32, 64):
         return native.block_decode(blob, bits, n)
     return block_decode_py(blob, bits, n)
 

@@ -176,7 +176,10 @@ def mt_decode(blob: bytes | np.ndarray, bits: int, n: int) -> bytes | None:
     kernels/ and parallel/."""
     from ..runtime import native
 
-    if native.load() is not None:
+    # the native tier implements the reference's widths (32/64); other n
+    # (e.g. 16, a generalization the numpy authority supports) must not
+    # be mistaken for malformed input by its -1
+    if native.load() is not None and n in (32, 64):
         return native.mt_decode(blob, bits, n)
     return mt_decode_py(blob, bits, n)
 

@@ -92,3 +92,24 @@ def test_adaptive_roundtrip_edges(codec_enc, codec_dec, n):
 def test_block_malformed():
     assert block_decode(b"\0" * 4, 12, 64) is None
     assert mt_decode(b"\0" * 4, 12, 64) is None
+
+
+@pytest.mark.parametrize("fam", ("mt", "block"))
+def test_n16_falls_back_to_numpy_tier(fam):
+    """n=16 mt/block is a generalization past the reference's widths: the
+    native tier rejects it, so the dispatch must route to the numpy
+    authority instead of reading -1 as malformed (soak-found bug)."""
+    from tools.gen_inputs import text_like
+
+    rng = np.random.default_rng(71)
+    data = text_like(rng, 60_000)
+    if fam == "mt":
+        from hsrans_tpu.ops.mt import mt_decode, mt_encode
+
+        blob = mt_encode(data, 12, 16)
+        assert mt_decode(blob, 12, 16) == data.tobytes()
+    else:
+        from hsrans_tpu.ops.block import block_decode, block_encode
+
+        blob = block_encode(data, 12, 16)
+        assert block_decode(blob, 12, 16) == data.tobytes()
