@@ -331,7 +331,9 @@ def tpx_decode_tpu(blob: bytes | np.ndarray, interpret: bool = False) -> bytes |
     if parsed is None:
         return None
     p, length, megas = parsed
-    if p.lanes != L or any(m.steps % 4 for m in megas):
+    # rows must be a sublane multiple for the kernel's VMEM blocks — a
+    # crafted header must degrade to None (host tier), not a Mosaic error
+    if p.lanes != L or any(m.steps % 4 or m.rows % 8 or m.rows < 8 for m in megas):
         return None
     n_buckets = (1 << p.bits) // 32  # <= 1024; packed 128 per sublane row
     if n_buckets > 8 * 128:

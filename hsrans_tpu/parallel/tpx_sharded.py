@@ -82,7 +82,7 @@ def tpx_decode_device(
     if parsed is None:
         return None
     p, length, megas = parsed
-    if p.lanes != 128 or any(m.steps % 4 for m in megas) or (1 << p.bits) // 32 > 1024:
+    if p.lanes != 128 or any(m.steps % 4 or m.rows % 8 or m.rows < 8 for m in megas) or (1 << p.bits) // 32 > 1024:
         return None
     out = np.zeros(length, dtype=np.uint8)
     from .sharded import axis_size

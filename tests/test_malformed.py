@@ -200,3 +200,17 @@ def test_mt32_quad_payload_bitflips_safe():
         except Exception as e:  # noqa: BLE001 — the contract is None-or-bytes
             raise AssertionError(f"quad decode raised on corrupt blob: {e}")
         assert out is None or isinstance(out, bytes)
+
+
+def test_tpx_kernel_rejects_misaligned_rows():
+    """Crafted headers with rows not a sublane multiple must return None
+    from the kernel tier (host tier still decodes real blobs), never raise
+    a compiler error."""
+    from hsrans_tpu.kernels.tpx_decode import tpx_decode_tpu
+    from hsrans_tpu.ops.tpx import tpx_encode_adaptive
+
+    blob = bytearray(tpx_encode_adaptive(_data(), 12))
+    # stomp the first mega's rows field (offset 44) to 13
+    blob[44:48] = (13).to_bytes(4, "little")
+    out = tpx_decode_tpu(bytes(blob), interpret=True)
+    assert out is None or isinstance(out, bytes)
