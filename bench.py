@@ -52,6 +52,31 @@ def record(metric: str, value: float, unit: str, baseline: float | None = None) 
     return row
 
 
+def _device_healthy(timeout_s: float | None = None) -> bool:
+    """One guarded matmul through the backend; False if it hangs/errors.
+    A wedged axon worker blocks inside a C call where no signal handler
+    runs, so the probe lives in an abandonable daemon thread."""
+    import threading
+
+    timeout_s = timeout_s or float(os.environ.get("HSRANS_BENCH_PROBE_S", "120"))
+    ok: list[bool] = []
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+
+            x = jnp.ones((128, 128), jnp.float32)
+            np.asarray(x @ x)
+            ok.append(True)
+        except BaseException:  # noqa: BLE001 — any failure means unhealthy
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     np.asarray(fn())
@@ -535,15 +560,30 @@ def main() -> None:
     corpus = np.fromfile(os.path.join(REPO, "tests", "corpus", "corpus.bin"), np.uint8)
     corpus_big = np.tile(corpus, max(1, SIZE_MB // 6))
 
-    # headline: flagship tpx device decode on the zipf text (r01-comparable)
-    headline_mib, ratio_text = bench_tpx_decode(text, BITS, "tpx_decode_B12", BASELINE_DEC)
-    record("ratio_tpx_text", ratio_text, "ratio")
+    # host-only ratio rows (no jax): always land, even with a dead tunnel
     record("ratio_tpx_corpus", len(tpx_encode(corpus, BITS, goal="ratio")) / corpus.size, "ratio")
     record("ratio_tpx_corpus_balanced", len(tpx_encode(corpus, BITS)) / corpus.size, "ratio")
 
+    # the axon worker can wedge for HOURS (jax.devices() then hangs inside a
+    # C call); probe it once with a hard timeout so a dead tunnel degrades
+    # to a host-only bench instead of burning the whole budget on abandoned
+    # device steps — and so the headline step can't hang the main thread
+    healthy = _device_healthy()
+    if not healthy:
+        print("  DEVICE TUNNEL UNHEALTHY: running host-only steps", file=sys.stderr)
+
+    def headline_step():
+        _mib, ratio_text = bench_tpx_decode(text, BITS, "tpx_decode_B12", BASELINE_DEC)
+        record("ratio_tpx_text", ratio_text, "ratio")
+
     # ordered by judge priority: if the time budget cuts the run short, the
     # verdict-tracked metrics land first
+    host_steps = [
+        bench_ref_pairs,
+        lambda: bench_native(corpus_big[: 12 << 20]),
+    ]
     steps = [
+        headline_step,
         lambda: bench_mt(corpus_big),
         bench_mt_xray,
         lambda: bench_tpx_adaptive(corpus),
@@ -565,6 +605,8 @@ def main() -> None:
             p=__import__("hsrans_tpu.ops.tpx", fromlist=["TpxParams"]).TpxParams.auto(corpus.size, BITS, "ratio"),
         ),
     ]
+    if not healthy:
+        steps = host_steps
     budget_s = float(os.environ.get("HSRANS_BENCH_BUDGET_S", "2400"))
     # per-step watchdog: a wedged TPU tunnel hangs inside a jax call forever
     # (observed after over-VMEM compile crashes), and that hang blocks inside
@@ -600,9 +642,27 @@ def main() -> None:
             e = err[0]
             print(f"  bench step failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+    # merge with the existing file: metrics not re-measured this run are
+    # carried forward and FLAGGED, so a degraded (host-only) run can't
+    # silently erase device evidence — or masquerade as having measured it
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    measured = {m["metric"] for m in METRICS}
+    if os.path.exists(detail_path):
+        try:
+            for m in json.load(open(detail_path)):
+                if m.get("metric") not in measured:
+                    m["carried"] = True
+                    METRICS.append(m)
+        except (json.JSONDecodeError, KeyError, TypeError):
+            pass
+    with open(detail_path, "w") as f:
         json.dump(METRICS, f, indent=1)
 
+    headline_mib = next(
+        (m["value"] for m in METRICS
+         if m["metric"] == "tpx_decode_B12" and not m.get("carried")),
+        0.0,
+    )
     print(
         json.dumps(
             {
