@@ -18,6 +18,9 @@ clears its feature globals to force scalar decoders (main.cpp:463-618).
 
 from __future__ import annotations
 
+import os
+import sys
+import threading
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -35,18 +38,45 @@ class Capabilities:
         return self.tier != "tpu"
 
 
+def _probe_backend(timeout_s: float) -> tuple[str, str, int] | None:
+    """jax.devices() in an abandonable daemon thread.
+
+    A wedged remote-TPU tunnel (observed: the axon worker after an
+    over-VMEM compile crash) blocks jax.devices() inside a C call for
+    hours — no Python signal handler runs, and the blocked call holds
+    jax's backend-init lock.  So on timeout the caller must NOT touch jax
+    in this process at all: every later jax call would block on that same
+    lock.  Degrading to the numpy/native host tier keeps the whole
+    library usable with a dead device."""
+    out: list[tuple[str, str, int] | None] = []
+
+    def run() -> None:
+        try:
+            import jax
+
+            devs = jax.devices()
+            out.append((devs[0].platform, devs[0].device_kind, len(devs)))
+        except Exception:
+            out.append(None)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return out[0] if out else None
+
+
 @lru_cache(maxsize=1)
 def detect(max_tier: str = "tpu") -> Capabilities:
     """Probe the JAX backend once (cf. _DetectCPUFeatures' one-shot globals)."""
-    try:
-        import jax
-
-        devs = jax.devices()
-        platform = devs[0].platform
-        kind = devs[0].device_kind
-        n = len(devs)
-    except Exception:
+    probe = _probe_backend(float(os.environ.get("HSRANS_DEVICE_PROBE_S", "60")))
+    if probe is None:
+        print(
+            "hsrans: device backend probe timed out or failed (wedged device "
+            "tunnel?) — degrading to the numpy/native host tier",
+            file=sys.stderr,
+        )
         return Capabilities("none", "none", 0, "numpy")
+    platform, kind, n = probe
     is_tpu = platform in ("tpu", "axon") or "TPU" in kind
     tier = "tpu" if is_tpu else "interpret"
     order = {"numpy": 0, "interpret": 1, "tpu": 2}

@@ -22,3 +22,40 @@ def test_cli_numpy_tier_roundtrip(tmp_path):
     rc = main([str(f), "--test", "--hist-min", "12", "--hist-max", "12",
                "--backend", "numpy", "--exclude-tpx", "--exclude-blk32"])
     assert rc == 0
+
+
+def test_detect_degrades_when_probe_wedges(monkeypatch):
+    """A wedged device tunnel (probe timeout) must degrade dispatch to the
+    numpy/native host tier without ever touching jax again in-process."""
+    from hsrans_tpu.runtime import device
+
+    device.detect.cache_clear()
+    monkeypatch.setattr(device, "_probe_backend", lambda timeout_s: None)
+    try:
+        cap = device.detect()
+        assert cap.tier == "numpy" and cap.num_devices == 0
+        assert cap.pallas_interpret
+        assert "none" in device.banner(cap)
+    finally:
+        device.detect.cache_clear()
+
+
+def test_detect_probe_timeout_thread():
+    """_probe_backend abandons a probe that never returns."""
+    import threading
+
+    from hsrans_tpu.runtime import device
+
+    ev = threading.Event()
+    orig_thread = threading.Thread
+
+    class Hung(orig_thread):
+        def run(self):
+            ev.wait(30)  # simulates jax.devices() blocked inside a C call
+
+    try:
+        threading.Thread = Hung
+        assert device._probe_backend(0.2) is None
+    finally:
+        threading.Thread = orig_thread
+        ev.set()
