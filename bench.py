@@ -663,16 +663,26 @@ def main() -> None:
          if m["metric"] == "tpx_decode_B12" and not m.get("carried")),
         0.0,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "tpx_rANS32_12bit_decode_enwik8like",
-                "value": round(headline_mib, 2),
-                "unit": "MiB/s",
-                "vs_baseline": round(headline_mib / BASELINE_DEC, 4),
-            }
+    line = {
+        "metric": "tpx_rANS32_12bit_decode_enwik8like",
+        "value": round(headline_mib, 2),
+        "unit": "MiB/s",
+        "vs_baseline": round(headline_mib / BASELINE_DEC, 4),
+    }
+    if headline_mib == 0.0:
+        # device never answered this run: say WHY the headline is 0 and what
+        # the last device-measured value was (clearly marked as carried, so
+        # the round's number stays honest — this run measured nothing)
+        carried = next(
+            (m["value"] for m in METRICS
+             if m["metric"] == "tpx_decode_B12" and m.get("carried")), None)
+        line["note"] = (
+            "device tunnel down; host-only bench ran (see BENCH_DETAIL.json "
+            "bench_ref/native rows)"
+            + (f"; last device-measured tpx_decode_B12 = {carried} MiB/s (carried, "
+               "NOT measured this run)" if carried else "")
         )
-    )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
