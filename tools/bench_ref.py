@@ -257,15 +257,33 @@ def main() -> None:
         if a.startswith("--rounds"):
             rounds = int(a.split("=", 1)[1])
     rows = head_to_head(corpus, bits_list, rounds=rounds)
-    # merge with existing rows (same family/bits/op replaced, others kept)
-    # so a partial-depth run never silently drops the rest of the matrix
+    # Merge with existing rows.  Rows not re-measured are kept as-is; rows
+    # measured again take the BEST per SIDE across runs (symmetric: ours and
+    # the reference each keep their best observed round), because run-to-run
+    # contention on this shared host is noise, not signal — a same-core
+    # capability comparison wants each side's quiet-machine rate.  Spread is
+    # the max across merged runs; `best_of_runs` counts the merged captures.
+    # Pass --fresh after changing either codec to drop stale history.
     out_path = REPO / "BENCH_REF.json"
-    if out_path.exists():
+    if out_path.exists() and "--fresh" not in sys.argv:
         try:
-            old = json.load(open(out_path))
-            have = {(r["family"], r["bits"], r["op"]) for r in rows}
-            rows += [r for r in old.get("rows", [])
-                     if (r["family"], r["bits"], r["op"]) not in have]
+            old_rows = {(r["family"], r["bits"], r["op"]): r
+                        for r in json.load(open(out_path)).get("rows", [])}
+            for r in rows:
+                o = old_rows.pop((r["family"], r["bits"], r["op"]), None)
+                if o is None or o.get("ref_mib_s") is None:
+                    continue
+                r["best_of_runs"] = o.get("best_of_runs", 1) + 1
+                r["ours_mib_s"] = max(r["ours_mib_s"], o["ours_mib_s"])
+                if r.get("ref_mib_s") is not None:
+                    r["ref_mib_s"] = max(r["ref_mib_s"], o["ref_mib_s"])
+                    r["vs_ref"] = round(r["ours_mib_s"] / r["ref_mib_s"], 3)
+                for k in ("ours_spread", "ref_spread"):
+                    if o.get(k) is not None and r.get(k) is not None:
+                        r[k] = max(r[k], o[k])
+                if r.get("ours_spread", 0) > 0.2 or (r.get("ref_spread") or 0) > 0.2:
+                    r["noisy"] = True
+            rows += list(old_rows.values())
             rows.sort(key=lambda r: (r["bits"], r["family"], r["op"]))
         except (json.JSONDecodeError, KeyError):
             pass
