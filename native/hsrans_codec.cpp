@@ -124,30 +124,49 @@ struct DecTable {
   // (the hist_dec2_t shape, hist.h:32-37, as one packed word).
   std::vector<uint32_t> pack;
   std::vector<uint8_t> sym;
-  std::vector<uint32_t> fcslot;  // B>=13, n=16 only: fc per SLOT
+  std::vector<uint32_t> fcslot;  // B>=13 slot-fc paths: fc per SLOT
   uint32_t freq[256];
   uint32_t cumul[256];
   uint32_t fcsym[256];
   uint32_t bits;
   bool packed;
+  // packed-field layout: sym | cumul<<8 | (freq-1)<<freq_shift.  B<=12
+  // uses the fixed 12-bit fields (mask 0xFFF, shift 20); the hi-bits
+  // packing (B>=13 when max freq fits the 24-bits spare bits) widens the
+  // cumul field to B bits and moves freq up.
+  uint32_t cum_mask = 0xFFF;
+  uint32_t freq_shift = 20;
 };
 
 bool build_dec_table(const uint16_t freq[256], uint32_t bits, DecTable *t,
-                     bool d8_path = false) {
+                     bool d8_path = false, bool try_pack_hi = false) {
   const uint32_t total = 1u << bits;
   uint64_t sum = 0;
-  for (int i = 0; i < 256; i++) sum += freq[i];
+  uint32_t maxf = 0;
+  for (int i = 0; i < 256; i++) {
+    sum += freq[i];
+    if (freq[i] > maxf) maxf = freq[i];
+  }
   if (sum != total) return false;  // malformed histogram
   t->bits = bits;
   t->packed = bits <= 12;
+  if (bits > 12 && try_pack_hi && maxf <= (1u << (24 - bits))) {
+    // hi-bits packing: sym(8) | cumul(B) | freq-1(24-B) still fits one
+    // u32 whenever no symbol's frequency exceeds 2^(24-B) — common on
+    // real data at B=13/14 — restoring the single-gather decode the
+    // B<=12 dec_pack layout gets (hist.h:46-50 rationale at depth)
+    t->packed = true;
+    t->cum_mask = total - 1;
+    t->freq_shift = 8 + bits;
+  }
   uint32_t c = 0;
   if (t->packed) {
-    // sym | cumul<<8 | (freq-1)<<20: freq-1 keeps the full-mass case
-    // (freq == 2^12) inside the 12-bit field
+    // sym | cumul<<8 | (freq-1)<<freq_shift: freq-1 keeps the full-mass
+    // case inside the field
     t->pack.resize(total);
     for (uint32_t s = 0; s < 256; s++) {
       for (uint32_t k = 0; k < freq[s]; k++)
-        t->pack[c + k] = s | (c << 8) | (((uint32_t)freq[s] - 1) << 20);
+        t->pack[c + k] = s | (c << 8) | (((uint32_t)freq[s] - 1) << t->freq_shift);
       c += freq[s];
     }
   } else {
@@ -322,6 +341,7 @@ int64_t decode_span_t(Coder *co, const DecTable *t, const uint16_t *stream,
 #endif
   if (t->packed) {
     const uint32_t *pk = t->pack.data();
+    const uint32_t cmask = t->cum_mask, fshift = t->freq_shift;
     for (uint64_t g = 0; g < num_groups; g++) {
       uint8_t *og = out + out_pos + g * N;
       if (r + N > nwords + N) return -1;  // padded slack: one group max
@@ -329,7 +349,7 @@ int64_t decode_span_t(Coder *co, const DecTable *t, const uint16_t *stream,
         uint32_t s = st[j];
         const uint32_t v = pk[s & mask];
         og[perm.p[j]] = (uint8_t)v;
-        s = (s >> bits) * ((v >> 20) + 1) + (s & mask) - ((v >> 8) & 0xFFF);
+        s = (s >> bits) * ((v >> fshift) + 1) + (s & mask) - ((v >> 8) & cmask);
         // branchy renorm on purpose: a cmov makes the read cursor a data
         // dependency (each lane's load waits on the previous lane's r);
         // the predicted branch lets the cursor speculate ahead
@@ -365,8 +385,8 @@ int64_t decode_span_t(Coder *co, const DecTable *t, const uint16_t *stream,
       if (t->packed) {
         const uint32_t v = t->pack[slot];
         b = (uint8_t)v;
-        c = (v >> 8) & 0xFFF;
-        f = (v >> 20) + 1;
+        c = (v >> 8) & t->cum_mask;
+        f = (v >> t->freq_shift) + 1;
       } else {
         b = t->sym[slot];
         f = t->freq[b];
@@ -942,7 +962,10 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
   uint16_t freq[256];
   memcpy(freq, blob + 16, 512);
   DecTable t;
-  if (!build_dec_table(freq, bits, &t)) return -1;
+  // d8_path (slot-fc fallback) only at B=13/14: the 2^B*4-byte fcslot
+  // stops paying at B=15 (128 KiB blows past L2; measured no gain over
+  // the dependent sym->fc chain there).  try_pack_hi at any B>=13.
+  if (!build_dec_table(freq, bits, &t, bits == 13 || bits == 14, bits >= 13)) return -1;
   uint32_t st[N32];
   memcpy(st, blob + 16 + 512, 4 * N32);
 
@@ -1026,7 +1049,7 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
       uint8_t b;
       if (t.packed) {
         const uint32_t v = t.pack[slot];
-        b = (uint8_t)v; c = (v >> 8) & 0xFFF; f = (v >> 20) + 1;
+        b = (uint8_t)v; c = (v >> 8) & t.cum_mask; f = (v >> t.freq_shift) + 1;
       } else {
         b = t.sym[slot]; f = t.freq[b]; c = t.cumul[b];
       }
@@ -1079,7 +1102,8 @@ uint64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stre
   for (uint32_t j = 0; j < N; j++) inv[perm.p[j]] = (uint8_t)j;
   const __m512i inv_idx = _mm512_loadu_si512(inv);
   const __m256i slot_mask = _mm256_set1_epi32((1 << t->bits) - 1);
-  const __m256i lo12 = _mm256_set1_epi32(0xFFF);
+  const __m256i cmask = _mm256_set1_epi32((int)t->cum_mask);
+  const __m128i fshift = _mm_cvtsi32_si128((int)t->freq_shift);
   const __m256i lo16 = _mm256_set1_epi32(0xFFFF);
   const __m256i lo8 = _mm256_set1_epi32(0xFF);
   const __m256i one = _mm256_set1_epi32(1);
@@ -1111,9 +1135,9 @@ uint64_t decode_groups_avx512(Coder *co, const DecTable *t, const uint16_t *stre
     }
     for (int v = 0; v < NV; v++) {
       const __m256i sym = packed ? _mm256_and_si256(pck[v], lo8) : symv[v];
-      const __m256i cum = packed ? _mm256_and_si256(_mm256_srli_epi32(pck[v], 8), lo12)
+      const __m256i cum = packed ? _mm256_and_si256(_mm256_srli_epi32(pck[v], 8), cmask)
                                  : _mm256_srli_epi32(pck[v], 16);
-      const __m256i freq = packed ? _mm256_add_epi32(_mm256_srli_epi32(pck[v], 20), one)
+      const __m256i freq = packed ? _mm256_add_epi32(_mm256_srl_epi32(pck[v], fshift), one)
                                   : _mm256_and_si256(pck[v], lo16);
       __m256i s = _mm256_add_epi32(
           _mm256_sub_epi32(slot[v], cum),
@@ -1195,7 +1219,8 @@ uint64_t decode_groups_avx512_zmm_t(Coder *co, const DecTable *t, const uint16_t
   }
   const __m512i wire_pat = _mm512_load_si512(pat);
   const __m512i slot_mask = _mm512_set1_epi32((1 << t->bits) - 1);
-  const __m512i lo12 = _mm512_set1_epi32(0xFFF);
+  const __m512i cmask = _mm512_set1_epi32((int)t->cum_mask);
+  const __m128i fshift = _mm_cvtsi32_si128((int)t->freq_shift);
   const __m512i lo16 = _mm512_set1_epi32(0xFFFF);
   const __m512i lo8 = _mm512_set1_epi32(0xFF);
   const __m512i one = _mm512_set1_epi32(1);
@@ -1231,9 +1256,9 @@ uint64_t decode_groups_avx512_zmm_t(Coder *co, const DecTable *t, const uint16_t
     __mmask16 k[NV];
     for (int v = 0; v < NV; v++) {
       sym[v] = kPacked ? _mm512_and_si512(pck[v], lo8) : symv[v];
-      const __m512i cum = kPacked ? _mm512_and_si512(_mm512_srli_epi32(pck[v], 8), lo12)
+      const __m512i cum = kPacked ? _mm512_and_si512(_mm512_srli_epi32(pck[v], 8), cmask)
                                   : _mm512_srli_epi32(pck[v], 16);
-      const __m512i freq = kPacked ? _mm512_add_epi32(_mm512_srli_epi32(pck[v], 20), one)
+      const __m512i freq = kPacked ? _mm512_add_epi32(_mm512_srl_epi32(pck[v], fshift), one)
                                    : _mm512_and_si512(pck[v], lo16);
       const __m512i s = _mm512_add_epi32(
           _mm512_sub_epi32(slot[v], cum),
@@ -1382,8 +1407,12 @@ bool avx512_ok() {
 // rans32x32_32blk_16w.cpp:222-231) — the easy vector case: the renorm is
 // one gather by per-lane cursor instead of an expand from a shared head.
 // The reference ships AVX2 variants; this is the AVX-512 dual with the
-// same two-gather dec2 scheme at B>=13 and the packed table at B<=12.
-template <bool kPacked, bool kW16>
+// packed table at B<=12 and, at B=13/14, a slot-indexed fc copy so the
+// two table gathers issue in PARALLEL (the reference's "sym idp gthr"
+// layouts, rans32x32_32blk_16w.cpp dispatch; fcslot is 2^B*4 bytes, which
+// stops paying at B=15 where it blows past L2 — B15 keeps the dependent
+// sym->fc chain, same switch the reference makes to its "sym dep" path).
+template <bool kPacked, bool kW16, bool kSlotFc = false>
 __attribute__((target("avx2,avx512f,avx512bw,avx512vbmi,avx512vl")))
 void blk32_decode_avx512_t(const DecTable *t, const uint16_t *lanes_buf,
                            const uint8_t *lanes_buf8, const uint32_t *lane_off32,
@@ -1399,13 +1428,15 @@ void blk32_decode_avx512_t(const DecTable *t, const uint16_t *lanes_buf,
   // measured 2.5x slower than this specialization.
   constexpr uint32_t N32 = 32;
   const __m256i slot_mask = _mm256_set1_epi32((1 << t->bits) - 1);
-  const __m256i lo12 = _mm256_set1_epi32(0xFFF);
+  const __m256i cmask = _mm256_set1_epi32((int)t->cum_mask);
+  const __m128i fshift = _mm_cvtsi32_si128((int)t->freq_shift);
   const __m256i lo16 = _mm256_set1_epi32(0xFFFF);
   const __m256i lo8 = _mm256_set1_epi32(0xFF);
   const __m256i one = _mm256_set1_epi32(1);
   const int *pk = kPacked ? (const int *)t->pack.data() : nullptr;
   const int *sym_tab = kPacked ? nullptr : (const int *)t->sym.data();
   const int *fc_tab = kPacked ? nullptr : (const int *)t->fcsym;
+  const int *fcs = kSlotFc ? (const int *)t->fcslot.data() : nullptr;
   const uint32_t bits = t->bits;
   const __m256i consume_lim = _mm256_set1_epi32(kW16 ? (int)kConsumePoint : (1 << 23));
   const __m256i wmask = kW16 ? lo16 : lo8;
@@ -1436,6 +1467,12 @@ void blk32_decode_avx512_t(const DecTable *t, const uint16_t *lanes_buf,
       for (int v = 0; v < 4; v++) slot[v] = _mm256_and_si256(st[v], slot_mask);
       if (kPacked) {
         for (int v = 0; v < 4; v++) pck[v] = _mm256_i32gather_epi32(pk, slot[v], 4);
+      } else if (kSlotFc) {
+        // both gathers index by slot -> no sym->fc dependency; all eight
+        // issue as soon as the slots resolve
+        for (int v = 0; v < 4; v++) pck[v] = _mm256_i32gather_epi32(fcs, slot[v], 4);
+        for (int v = 0; v < 4; v++)
+          symv[v] = _mm256_and_si256(_mm256_i32gather_epi32(sym_tab, slot[v], 1), lo8);
       } else {
         for (int v = 0; v < 4; v++)
           symv[v] = _mm256_and_si256(_mm256_i32gather_epi32(sym_tab, slot[v], 1), lo8);
@@ -1444,9 +1481,9 @@ void blk32_decode_avx512_t(const DecTable *t, const uint16_t *lanes_buf,
       __m256i symq[4];
       for (int v = 0; v < 4; v++) {
         const __m256i sym = kPacked ? _mm256_and_si256(pck[v], lo8) : symv[v];
-        const __m256i cum = kPacked ? _mm256_and_si256(_mm256_srli_epi32(pck[v], 8), lo12)
+        const __m256i cum = kPacked ? _mm256_and_si256(_mm256_srli_epi32(pck[v], 8), cmask)
                                     : _mm256_srli_epi32(pck[v], 16);
-        const __m256i freq = kPacked ? _mm256_add_epi32(_mm256_srli_epi32(pck[v], 20), one)
+        const __m256i freq = kPacked ? _mm256_add_epi32(_mm256_srl_epi32(pck[v], fshift), one)
                                      : _mm256_and_si256(pck[v], lo16);
         __m256i s = _mm256_add_epi32(
             _mm256_sub_epi32(slot[v], cum),
@@ -1484,6 +1521,11 @@ void blk32_decode_avx512(const DecTable *t, const uint16_t *lanes_buf,
       blk32_decode_avx512_t<true, true>(t, lanes_buf, lanes_buf8, lane_off32, r_io, states, out, full_groups);
     else
       blk32_decode_avx512_t<true, false>(t, lanes_buf, lanes_buf8, lane_off32, r_io, states, out, full_groups);
+  } else if (!t->fcslot.empty()) {
+    if (word_bits == 16)
+      blk32_decode_avx512_t<false, true, true>(t, lanes_buf, lanes_buf8, lane_off32, r_io, states, out, full_groups);
+    else
+      blk32_decode_avx512_t<false, false, true>(t, lanes_buf, lanes_buf8, lane_off32, r_io, states, out, full_groups);
   } else {
     if (word_bits == 16)
       blk32_decode_avx512_t<false, true>(t, lanes_buf, lanes_buf8, lane_off32, r_io, states, out, full_groups);
