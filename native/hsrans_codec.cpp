@@ -479,7 +479,7 @@ int64_t hsr_raw_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
   uint16_t freq[256];
   memcpy(freq, blob + 16, 512);
   DecTable t;
-  if (!build_dec_table(freq, bits, &t, n == 16 && bits >= 13)) return -1;
+  if (!build_dec_table(freq, bits, &t, n == 16 && bits >= 13, bits == 13 || bits == 14)) return -1;
   Coder co;
   init_coder(&co, n);
   memcpy(co.states, blob + 16 + 512, 4ull * n);
@@ -598,7 +598,7 @@ int64_t hsr_block_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
       uint16_t freq[256];
       memcpy(freq, stream + r, 512);
       r += 256;
-      if (!build_dec_table(freq, bits, &t, n == 16 && bits >= 13)) return -1;
+      if (!build_dec_table(freq, bits, &t, n == 16 && bits >= 13, bits == 13 || bits == 14)) return -1;
       have_table = true;
       uint64_t block_end = i + val;
       if (block_end > out_len_states) block_end = out_len_states;
@@ -708,7 +708,7 @@ void mt_block_worker(void *arg) {
   DecTable t;
   uint16_t freq[256];
   memcpy(freq, b->freq, 512);
-  if (!build_dec_table(freq, b->bits, &t, b->n == 16 && b->bits >= 13)) {
+  if (!build_dec_table(freq, b->bits, &t, b->n == 16 && b->bits >= 13, b->bits == 13 || b->bits == 14)) {
     b->fail->store(1);
     return;
   }
