@@ -17,8 +17,10 @@ Mirrors the reference binary's interface (main.cpp:367-399):
                         'none' -> numpy scalar tier; other levels -> Pallas
                         interpret tier
     --backend {auto,device,interpret,numpy}
-    --no-sleep / --cpu-core N / --low-mem   accepted for flag parity
-                        (thermal sleeps and core pinning have no TPU analog)
+    --no-sleep / --low-mem    accepted for flag parity (thermal sleeps
+                        have no TPU analog)
+    --cpu-core N        pin the process to core N (host-tier timing
+                        stability, same purpose as the reference's flag)
 
 Output mirrors the reference's table: ratio, encode MiB/s (best run),
 decode max/avg/min MiB/s and per-run σ (main.cpp:72-118's stat set).
@@ -26,6 +28,7 @@ decode max/avg/min MiB/s and per-run σ (main.cpp:72-118's stat set).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -142,6 +145,7 @@ def parse_args(argv: list[str]) -> dict:
         "dev": True,  # --exclude-dev drops the device (TPU) mt rows
         "backend": "auto",
         "max_simd": None,
+        "cpu_core": None,
     }
     i = 0
     while i < len(argv):
@@ -174,7 +178,8 @@ def parse_args(argv: list[str]) -> dict:
         elif a in ("--no-sleep", "--low-mem"):
             pass  # thermal/memory hygiene flags: not needed on TPU; accepted
         elif a == "--cpu-core":
-            i += 1  # core pinning has no TPU analog; accepted for parity
+            i += 1
+            args["cpu_core"] = int(argv[i])
         elif not a.startswith("-"):
             args["file"] = a
         i += 1
@@ -217,6 +222,14 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    core = args.pop("cpu_core")
+    if core is not None:
+        # pin the process for stable host-tier timing (the reference pins its
+        # bench thread the same way, main.cpp --cpu-core)
+        try:
+            os.sched_setaffinity(0, {core})
+        except (AttributeError, OSError) as e:
+            print(f"warning: --cpu-core {core} not applied: {e}", file=sys.stderr)
     print(banner())
 
     data = np.fromfile(args["file"], dtype=np.uint8)
