@@ -197,3 +197,30 @@ def test_decode_forged_rawlength_returns_none():
     blob[0:8] = struct.pack("<Q", (1 << 40) - 1)  # ~1 TiB claim, 600 B blob
     out = native.mt_decode(bytes(blob), 12, 64)
     assert out is None or out != d.tobytes()  # never raises
+
+
+@pytest.mark.parametrize("bits", [13, 14])
+def test_native_high_bits_pack_boundary(bits):
+    """Both hi-bits dec_pack paths at B>=13: a near-uniform input keeps every
+    frequency under 2^(24-B) (single-gather packed layout engages) while a
+    heavily skewed one exceeds it (slot-fc / dependent fallback).  Wire bytes
+    and roundtrips must be identical either way."""
+    rng = np.random.default_rng(bits)
+    flat = rng.integers(0, 256, 200_000).astype(np.uint8)  # maxfreq ~ 2^B/256
+    skew = np.concatenate(
+        [np.zeros(150_000, np.uint8), rng.integers(0, 256, 50_000).astype(np.uint8)]
+    )  # symbol 0 takes >> 2^(24-bits) of the mass
+    for data in (flat, skew):
+        for fam_enc, fam_dec in (
+            (reference.raw_encode, reference.raw_decode),
+            (block.block_encode, block.block_decode),
+            (mt.mt_encode, mt.mt_decode),
+        ):
+            blob = fam_enc(data, bits, 64)
+            assert fam_dec(blob, bits, 64) == data.tobytes()
+        from hsrans_tpu.ops import blk32
+
+        for wb in (16, 8):
+            bb = blk32.blk32_encode_host(data, bits, wb)
+            assert blk32.blk32_decode_host(bb, bits, wb) == data.tobytes()
+            assert bb == blk32.blk32_encode(data, make_hist(data, bits), wb)
