@@ -965,7 +965,7 @@ extern "C" int64_t hsr_blk32_decode(const uint8_t *blob, uint64_t size, uint8_t 
   // d8_path (slot-fc fallback) only at B=13/14: the 2^B*4-byte fcslot
   // stops paying at B=15 (128 KiB blows past L2; measured no gain over
   // the dependent sym->fc chain there).  try_pack_hi at any B>=13.
-  if (!build_dec_table(freq, bits, &t, bits == 13 || bits == 14, bits >= 13)) return -1;
+  if (!build_dec_table(freq, bits, &t, bits >= 13, bits >= 13)) return -1;
   uint32_t st[N32];
   memcpy(st, blob + 16 + 512, 4 * N32);
 
