@@ -479,7 +479,7 @@ int64_t hsr_raw_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
   uint16_t freq[256];
   memcpy(freq, blob + 16, 512);
   DecTable t;
-  if (!build_dec_table(freq, bits, &t, n == 16 && bits >= 13, bits == 13 || bits == 14)) return -1;
+  if (!build_dec_table(freq, bits, &t, bits >= 13, bits >= 13)) return -1;
   Coder co;
   init_coder(&co, n);
   memcpy(co.states, blob + 16 + 512, 4ull * n);
@@ -598,7 +598,7 @@ int64_t hsr_block_decode(const uint8_t *blob, uint64_t size, uint8_t *out,
       uint16_t freq[256];
       memcpy(freq, stream + r, 512);
       r += 256;
-      if (!build_dec_table(freq, bits, &t, n == 16 && bits >= 13, bits == 13 || bits == 14)) return -1;
+      if (!build_dec_table(freq, bits, &t, bits >= 13, bits >= 13)) return -1;
       have_table = true;
       uint64_t block_end = i + val;
       if (block_end > out_len_states) block_end = out_len_states;
@@ -708,7 +708,7 @@ void mt_block_worker(void *arg) {
   DecTable t;
   uint16_t freq[256];
   memcpy(freq, b->freq, 512);
-  if (!build_dec_table(freq, b->bits, &t, b->n == 16 && b->bits >= 13, b->bits == 13 || b->bits == 14)) {
+  if (!build_dec_table(freq, b->bits, &t, b->bits >= 13, b->bits >= 13)) {
     b->fail->store(1);
     return;
   }
@@ -1239,13 +1239,14 @@ uint64_t decode_groups_avx512_zmm_t(Coder *co, const DecTable *t, const uint16_t
     __m512i slot[NV], pck[NV], symv[NV], sym[NV];
     for (int v = 0; v < NV; v++) slot[v] = _mm512_and_si512(st[v], slot_mask);
     if constexpr (kD8) {
-      // n=16: ONE zmm of states means the by-symbol fc gather CHAINED on
-      // the slot-byte gather has nothing to overlap with; with fc
-      // duplicated per slot both gathers index by slot and issue in
-      // PARALLEL — the group's serial latency drops by a gather.
+      // fc duplicated per slot: both table gathers index by slot and issue
+      // in PARALLEL — the group's serial latency drops by a gather.  Vital
+      // at n=16 (one zmm of states leaves the chained fc gather nothing to
+      // overlap with) and still a measured win for the multi-vector widths.
       const int *fcs = (const int *)t->fcslot.data();
-      pck[0] = _mm512_i32gather_epi32(slot[0], fcs, 4);
-      symv[0] = _mm512_and_si512(_mm512_i32gather_epi32(slot[0], sym_tab, 1), lo8);
+      for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(slot[v], fcs, 4);
+      for (int v = 0; v < NV; v++)
+        symv[v] = _mm512_and_si512(_mm512_i32gather_epi32(slot[v], sym_tab, 1), lo8);
     } else if (kPacked) {
       for (int v = 0; v < NV; v++) pck[v] = _mm512_i32gather_epi32(slot[v], pk, 4);
     } else {
@@ -1305,7 +1306,7 @@ uint64_t decode_groups_avx512_zmm(Coder *co, const DecTable *t, const uint16_t *
                                   uint64_t out_pos, uint64_t num_groups, uint64_t *g_done) {
   if (t->packed)
     return decode_groups_avx512_zmm_t<N, true>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done);
-  if (N == 16 && !t->fcslot.empty())
+  if (!t->fcslot.empty())
     return decode_groups_avx512_zmm_t<N, false, true>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done);
   return decode_groups_avx512_zmm_t<N, false>(co, t, stream, safe_r, r, out, out_pos, num_groups, g_done);
 }
