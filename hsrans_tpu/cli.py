@@ -51,9 +51,10 @@ def _build_codecs(args) -> list[dict]:
     def add(name, enc, dec, bits):
         codecs.append({"name": f"{name} {bits}", "enc": enc, "dec": dec})
 
+    widths = [n for n in (16, 32, 64) if args[f"w{n}"]]
     for bits in bits_range:
         if args["raw"]:
-            for n in (16, 32, 64):
+            for n in widths:
                 if scalar:
                     enc = (lambda b, n=n: lambda d: reference.raw_encode_16w(d, make_hist(d, b), n))(bits)
                     dec = (lambda b, n=n: lambda c: reference.raw_decode_16w(c, b, n))(bits)
@@ -61,7 +62,7 @@ def _build_codecs(args) -> list[dict]:
                     enc = (lambda b, n=n: lambda d: reference.raw_encode(d, b, n))(bits)
                     dec = (lambda b, n=n: lambda c: reference.raw_decode(c, b, n))(bits)
                 add(f"rANS32x{n} 16w", enc, dec, bits)
-        if args["blk32"]:
+        if args["blk32"] and 32 in widths:
             for wb in (16, 8):
                 if scalar:
                     enc = (lambda b, wb=wb: lambda d: blk32.blk32_encode(d, make_hist(d, b), wb))(bits)
@@ -71,7 +72,7 @@ def _build_codecs(args) -> list[dict]:
                     dec = (lambda b, wb=wb: lambda c: blk32.blk32_decode_host(c, b, wb))(bits)
                 add(f"rANS32x32 32blk {wb}w", enc, dec, bits)
         if args["block"]:
-            for n in (32, 64):
+            for n in [n for n in (32, 64) if n in widths]:
                 enc_fn = block.block_encode_py if scalar else block.block_encode
                 dec_fn = block.block_decode_py if scalar else block.block_decode
                 add(
@@ -81,7 +82,7 @@ def _build_codecs(args) -> list[dict]:
                     bits,
                 )
         if args["mt"]:
-            for n in (32, 64):
+            for n in [n for n in (32, 64) if n in widths]:
                 enc_fn = mt.mt_encode_py if scalar else mt.mt_encode
                 dec_fn = mt.mt_decode_py if scalar else mt.mt_decode
                 add(
@@ -90,7 +91,7 @@ def _build_codecs(args) -> list[dict]:
                     (lambda b, n=n, f=dec_fn: lambda c: f(c, b, n))(bits),
                     bits,
                 )
-            if args["backend"] != "numpy" and args["dev"] and bits <= 15:
+            if args["backend"] != "numpy" and args["dev"] and 64 in widths and bits <= 15:
                 from .kernels.mt64_decode import mt64_decode_tpu
                 from .kernels.mt64_encode import mt64_encode_tpu
 
@@ -143,6 +144,10 @@ def parse_args(argv: list[str]) -> dict:
         "block": True,
         "tpx": True,
         "dev": True,  # --exclude-dev drops the device (TPU) mt rows
+        # state-width filters (reference --exclude-16/-32/-64, main.cpp:247-249)
+        "w16": True,
+        "w32": True,
+        "w64": True,
         "backend": "auto",
         "max_simd": None,
         "cpu_core": None,
@@ -166,9 +171,11 @@ def parse_args(argv: list[str]) -> dict:
             args["hist_max"] = int(argv[i])
         elif a.startswith("--include-") or a.startswith("--exclude-"):
             # the reference spells the 32blk family "--include-32blk"
-            # (main.cpp flag table); internal key is "blk32"
+            # (main.cpp flag table); internal key is "blk32".  Bare width
+            # numbers are the state-width filters (--exclude-16/-32/-64).
             key = a[10:].replace("-", "")
-            args[{"32blk": "blk32"}.get(key, key)] = a.startswith("--include-")
+            key = {"32blk": "blk32", "16": "w16", "32": "w32", "64": "w64"}.get(key, key)
+            args[key] = a.startswith("--include-")
         elif a == "--max-simd":
             i += 1
             args["max_simd"] = argv[i]

@@ -59,3 +59,14 @@ def test_detect_probe_timeout_thread():
     finally:
         threading.Thread = orig_thread
         ev.set()
+
+
+def test_width_filters(tmp_path):
+    """--exclude-16/-32/-64 drop state-width variants (main.cpp:247-249)."""
+    from hsrans_tpu.cli import _build_codecs
+
+    a = parse_args(["f", "--test", "--hist-min", "12", "--hist-max", "12",
+                    "--exclude-16", "--exclude-32", "--exclude-tpx", "--backend", "numpy"])
+    names = [c["name"] for c in _build_codecs(a)]
+    assert names and all("x64" in n for n in names)
+    assert not any("x16" in n or "x32" in n for n in names)
