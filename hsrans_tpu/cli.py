@@ -208,6 +208,24 @@ def parse_args(argv: list[str]) -> dict:
     return args
 
 
+def _print_mismatch(want: np.ndarray, got: bytes | None) -> None:
+    """Hex context around the first differing byte (the reference's Validate
+    diff dump, main.cpp:949-1039)."""
+    if got is None:
+        print("  decode returned None (malformed-input path)", file=sys.stderr)
+        return
+    g = np.frombuffer(got, dtype=np.uint8)
+    if g.size != want.size:
+        print(f"  length mismatch: expected {want.size}, got {g.size}", file=sys.stderr)
+    n = min(g.size, want.size)
+    diffs = np.nonzero(g[:n] != want[:n])[0]
+    at = int(diffs[0]) if diffs.size else n
+    lo, hi = max(0, at - 16), min(n, at + 16)
+    print(f"  first mismatch at offset {at} ({diffs.size} differing bytes)", file=sys.stderr)
+    print("  expected: " + want[lo:hi].tobytes().hex(" "), file=sys.stderr)
+    print("  got:      " + g[lo:hi].tobytes().hex(" "), file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
     if not args["file"]:
@@ -266,6 +284,7 @@ def main(argv: list[str] | None = None) -> int:
             ok = out == data.tobytes()
             if not ok:
                 failed += 1
+                _print_mismatch(data, out)
             mib = data.size / (1 << 20)
             # per-run spread, reference main.cpp:72-118 (avg/min/max/std dev);
             # rates: best run = mib/min(dts), worst = mib/max(dts)
