@@ -15,11 +15,16 @@ Measurement discipline (round-4 hardening): ours and the reference run
 **A/B-interleaved** — `--rounds N` (default 3) alternating rounds, each
 round measuring every family on both sides, best-of over rounds on each
 side — so one noisy scheduling window cannot silently poison one side of
-a pair.  Every row carries `ours_spread` / `ref_spread` (max/min - 1
+a pair.  Per-side value = best CONFIRMED round (a top round > 1.3x the
+second-best is a timer/scheduling outlier and is discarded, both sides).
+Re-running merges best-per-side across runs (`best_of_runs` counts them);
+`--fresh` drops the history for re-measured rows (use after codec
+changes).  Every row carries `ours_spread` / `ref_spread` (max/min - 1
 across rounds); rows where either side moved > 20% are flagged
-`"noisy": true` and should not be quoted as evidence.
+`"noisy": true`.
 
-Usage: python tools/bench_ref.py [corpus] [--bits 10,12,15] [--quick] [--rounds 3]
+Usage: python tools/bench_ref.py [corpus] [--bits 10,12,15] [--quick]
+       [--rounds 3] [--fresh]
 """
 
 from __future__ import annotations
@@ -189,7 +194,13 @@ def _merge_rounds(per_round: list[dict]) -> dict:
             if not vals:
                 continue
             spread = max(vals) / min(vals) - 1 if min(vals) > 0 else 0.0
-            ops[op] = (max(vals), spread, extras[0] if extras else None)
+            # confirmed best: a top round more than 1.3x the second-best is
+            # an unconfirmed outlier (timer glitch / scheduling anomaly) and
+            # is discarded — applied to BOTH sides symmetrically, so one
+            # glitched round can't permanently poison the best-per-side merge
+            top = sorted(vals, reverse=True)
+            best = top[0] if len(top) == 1 or top[0] <= 1.3 * top[1] else top[1]
+            ops[op] = (best, spread, extras[0] if extras else None)
         for fr in fam_rounds:
             if "decode_impl" in fr:
                 ops["decode_impl"] = fr["decode_impl"]
