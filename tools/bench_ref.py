@@ -276,13 +276,16 @@ def main() -> None:
     # the max across merged runs; `best_of_runs` counts the merged captures.
     # Pass --fresh after changing either codec to drop stale history.
     out_path = REPO / "BENCH_REF.json"
-    if out_path.exists() and "--fresh" not in sys.argv:
+    fresh = "--fresh" in sys.argv
+    if out_path.exists():
         try:
             old_rows = {(r["family"], r["bits"], r["op"]): r
                         for r in json.load(open(out_path)).get("rows", [])}
             for r in rows:
                 o = old_rows.pop((r["family"], r["bits"], r["op"]), None)
-                if o is None or o.get("ref_mib_s") is None:
+                # --fresh: drop history for RE-MEASURED rows only (rows not
+                # measured this run are always carried forward)
+                if fresh or o is None or o.get("ref_mib_s") is None:
                     continue
                 r["best_of_runs"] = o.get("best_of_runs", 1) + 1
                 r["ours_mib_s"] = max(r["ours_mib_s"], o["ours_mib_s"])
