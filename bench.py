@@ -513,11 +513,17 @@ def bench_ref_pairs():
     bench_ref.py); each pair lands in BENCH_DETAIL as ours + _ref_same_core
     so host comparisons never lean on the reference README's 7950X paper
     numbers."""
-    from tools.bench_ref import head_to_head
+    from tools.bench_ref import head_to_head, merge_into_file
 
-    rows = head_to_head(os.path.join(REPO, "tests", "corpus", "corpus.bin"), bits_list=(12,))
+    corpus_path = os.path.join(REPO, "tests", "corpus", "corpus.bin")
+    rows = head_to_head(corpus_path, bits_list=(12,))
+    # merge this capture into the committed matrix (symmetric confirmed-best
+    # per side across runs) and record the MERGED values: one noisy driver
+    # scheduling window must not contradict the README's matrix (the r3
+    # 458-vs-1594 anomaly)
+    rows = merge_into_file(rows, corpus_path, rounds=3)
     for r in rows:
-        if not r.get("ref_mib_s"):
+        if r["bits"] != 12 or not r.get("ref_mib_s"):
             continue
         name = f"{r['family']}_B{r['bits']}_{r['op']}"
         record(f"{name}_same_core", r["ours_mib_s"], "MiB/s", r["ref_mib_s"])

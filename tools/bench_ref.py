@@ -257,34 +257,23 @@ def head_to_head(corpus_path: Path, bits_list=(10, 12, 15), families="raw block 
     return rows
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    corpus = Path(args[0]) if args else REPO / "tests" / "corpus" / "corpus.bin"
-    bits_list = (12,) if "--quick" in sys.argv else (10, 12, 15)
-    rounds = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--bits"):
-            bits_list = tuple(int(b) for b in a.split("=", 1)[1].split(","))
-        if a.startswith("--rounds"):
-            rounds = int(a.split("=", 1)[1])
-    rows = head_to_head(corpus, bits_list, rounds=rounds)
-    # Merge with existing rows.  Rows not re-measured are kept as-is; rows
-    # measured again take the BEST per SIDE across runs (symmetric: ours and
-    # the reference each keep their best observed round), because run-to-run
-    # contention on this shared host is noise, not signal — a same-core
-    # capability comparison wants each side's quiet-machine rate.  Spread is
-    # the max across merged runs; `best_of_runs` counts the merged captures.
-    # Pass --fresh after changing either codec to drop stale history.
+def merge_into_file(rows: list[dict], corpus, rounds, fresh: bool = False) -> list[dict]:
+    """Merge measured rows into BENCH_REF.json and return the full matrix.
+
+    Rows not re-measured are kept as-is; rows measured again take the BEST
+    per SIDE across runs (symmetric: ours and the reference each keep their
+    best confirmed round), because run-to-run contention on this shared host
+    is noise, not signal — a same-core capability comparison wants each
+    side's quiet-machine rate.  Spread is the max across merged runs;
+    `best_of_runs` counts the captures.  fresh=True drops history for the
+    RE-MEASURED rows only (after codec changes)."""
     out_path = REPO / "BENCH_REF.json"
-    fresh = "--fresh" in sys.argv
     if out_path.exists():
         try:
             old_rows = {(r["family"], r["bits"], r["op"]): r
                         for r in json.load(open(out_path)).get("rows", [])}
             for r in rows:
                 o = old_rows.pop((r["family"], r["bits"], r["op"]), None)
-                # --fresh: drop history for RE-MEASURED rows only (rows not
-                # measured this run are always carried forward)
                 if fresh or o is None or o.get("ref_mib_s") is None:
                     continue
                 r["best_of_runs"] = o.get("best_of_runs", 1) + 1
@@ -304,6 +293,21 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump({"corpus": str(corpus), "host": os.uname().nodename,
                    "rounds": rounds, "rows": rows}, f, indent=1)
+    return rows
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    corpus = Path(args[0]) if args else REPO / "tests" / "corpus" / "corpus.bin"
+    bits_list = (12,) if "--quick" in sys.argv else (10, 12, 15)
+    rounds = 3
+    for a in sys.argv[1:]:
+        if a.startswith("--bits"):
+            bits_list = tuple(int(b) for b in a.split("=", 1)[1].split(","))
+        if a.startswith("--rounds"):
+            rounds = int(a.split("=", 1)[1])
+    rows = head_to_head(corpus, bits_list, rounds=rounds)
+    rows = merge_into_file(rows, corpus, rounds, fresh="--fresh" in sys.argv)
     hdr = (f"{'family':<10} {'B':>2} {'op':<9} {'ours MiB/s':>11} {'ref MiB/s':>10} "
            f"{'vs ref':>7} {'spread o/r':>11}")
     print(hdr)
