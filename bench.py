@@ -266,9 +266,12 @@ def bench_mt(corpus_big):
     record("ratio_mt_corpus", len(blob) / corpus_big.size, "ratio")
     _mt_bucket_slope(blob, BITS, "mt_planner_decode_B12", BASELINE_MT)
 
-    # full-depth sweep on planner blobs (reference mt figures, README.md:
-    # 182/186/192; x-ray 32T: B10 18,035.77, B12 13,207, B15 7,308)
-    for bits, base in ((10, 18035.77), (11, None), (13, None), (14, None), (15, 7471.0)):
+    # planner sweep over the depths whose kernels have compiled on real
+    # hardware before (round 3); B10/B11 moved to bench_mt_low_bits — they
+    # now dispatch to the NEVER-YET-COMPILED merged-table pair kernels, and
+    # a first-compile hang wedges the worker for hours (observed), so they
+    # run after every proven step
+    for bits, base in ((13, None), (14, None), (15, 7471.0)):
         blob_b = mt_encode(corpus_big, bits, 64)
         _mt_bucket_slope(blob_b, bits, f"mt_planner_decode_B{bits}", base)
 
@@ -279,6 +282,17 @@ def bench_mt(corpus_big):
     one = corpus_big[:65600]
     blob1 = mt_encode(one, BITS, 64, plan=uniform_plan(one, BITS, 64, 65536))
     _mt_bucket_slope(blob1, BITS, "single_chain_decode_B12", None)
+
+
+def bench_mt_low_bits(corpus_big):
+    """Planner decode at B=10/11 — dispatches to the merged-c0/bm pair
+    kernel (round-4 specialization, FIRST device compile).  Runs late: a
+    Mosaic compile hang here must not cost the proven rows."""
+    from hsrans_tpu.ops.mt import mt_encode
+
+    for bits, base in ((10, 18035.77), (11, None)):
+        blob_b = mt_encode(corpus_big, bits, 64)
+        _mt_bucket_slope(blob_b, bits, f"mt_planner_decode_B{bits}", base)
 
 
 def bench_mt_xray():
@@ -588,18 +602,20 @@ def main() -> None:
         bench_ref_pairs,
         lambda: bench_native(corpus_big[: 12 << 20]),
     ]
+    # two tiers: kernels that have compiled on real hardware in a prior
+    # round run FIRST; never-yet-compiled specializations (merged-table
+    # pairs at B10/11, quad n=32, adaptive small-geometry) run LAST — an
+    # observed failure mode is a first-compile Mosaic hang that wedges the
+    # worker for hours, and it must not cost the proven rows
     steps = [
         headline_step,
         lambda: bench_mt(corpus_big),
-        bench_mt_xray,
-        lambda: bench_tpx_adaptive(corpus),
-        lambda: bench_mt32_quad(corpus_big[: 32 << 20]),
+        lambda: bench_tpx_decode(text[: 16 << 20], 13, "tpx_decode_B13", BASELINE_DEC),
         lambda: bench_mt_device_encode(corpus_big, 4096, 512, "mt_device_encode_4k"),
         lambda: bench_mt_device_encode(corpus_big, 65536, 512, "mt_device_encode_planner"),
         bench_ref_pairs,
         lambda: bench_tpx_encode(text),
         lambda: bench_native(corpus_big[: 12 << 20]),
-        lambda: bench_tpx_decode(text[: 16 << 20], 13, "tpx_decode_B13", BASELINE_DEC),
         lambda: bench_tpx_decode(text[: 16 << 20], 15, "tpx_decode_B15", BASELINE_DEC),
         lambda: bench_tpx_decode(text[: 16 << 20], 14, "tpx_decode_B14", BASELINE_DEC),
         lambda: bench_tpx_decode(text[: 16 << 20], 10, "tpx_decode_B10", BASELINE_DEC),
@@ -610,6 +626,11 @@ def main() -> None:
             corpus, BITS, "tpx_corpus_decode_ratio_goal",
             p=__import__("hsrans_tpu.ops.tpx", fromlist=["TpxParams"]).TpxParams.auto(corpus.size, BITS, "ratio"),
         ),
+        # --- first-compile tier below this line ---
+        lambda: bench_mt_low_bits(corpus_big),
+        bench_mt_xray,
+        lambda: bench_tpx_adaptive(corpus),
+        lambda: bench_mt32_quad(corpus_big[: 32 << 20]),
     ]
     if not healthy:
         steps = host_steps
@@ -644,6 +665,11 @@ def main() -> None:
                 "likely wedged; thread left behind)",
                 file=sys.stderr,
             )
+            # if the worker is actually dead, every later device step would
+            # burn its full budget too — re-probe and bail out of the loop
+            if not _device_healthy(60):
+                print("  DEVICE TUNNEL DEAD MID-RUN: stopping device steps", file=sys.stderr)
+                break
         elif err:
             e = err[0]
             print(f"  bench step failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
