@@ -80,7 +80,13 @@ def _counterfactual(name: str) -> bool:
 
 _STREAM_TILE_BYTES = int(_os.environ.get("HSRANS_STREAM_TILE_MB", "6")) << 20
 _PAIR_TILE_BYTES = int(_os.environ.get("HSRANS_PAIR_TILE_MB", "24")) << 20
-_USE_PAIR_KERNEL = True  # two blocks per row for B<=12 buckets (any rank width)
+# Safe-mode escape hatches (output-identical; only the kernel choice
+# changes): a NEW specialization's first device compile can hang Mosaic and
+# wedge the remote worker for hours, so an operator can force the simpler
+# single-block kernel (HSRANS_NO_PAIR=1) or just skip the n=32 quad packing
+# (HSRANS_NO_QUAD=1) until the compile is known-good on the installed stack.
+_USE_PAIR_KERNEL = _os.environ.get("HSRANS_NO_PAIR") != "1"
+_USE_QUAD_KERNEL = _os.environ.get("HSRANS_NO_QUAD") != "1"
 _PREFIX_MXU = True  # triangular-matmul prefix vs log-shift rolls (experiment)
 
 
@@ -521,7 +527,7 @@ def mt64_decode_tpu(
                 blk, wc, idxs = blk[nbp:], wc[nbp:], idxs[nbp:]
                 if not idxs:
                     continue
-        if _USE_PAIR_KERNEL and n == 32 and bits <= 12 and len(idxs) >= 4:
+        if _USE_PAIR_KERNEL and _USE_QUAD_KERNEL and n == 32 and bits <= 12 and len(idxs) >= 4:
             # four n=32 blocks per 128-lane row (kernels/mt32_quad.py):
             # 4x the row occupancy of the masked single path; leftover
             # (< 4) blocks join the single path below
