@@ -58,7 +58,9 @@ def _device_healthy(timeout_s: float | None = None) -> bool:
     runs, so the probe lives in an abandonable daemon thread."""
     import threading
 
-    timeout_s = timeout_s or float(os.environ.get("HSRANS_BENCH_PROBE_S", "120"))
+    # first contact after tunnel idle takes ~110 s (worker warm-up measured
+    # 2026-08-18); 120 s was a coin flip that sent a healthy round host-only
+    timeout_s = timeout_s or float(os.environ.get("HSRANS_BENCH_PROBE_S", "300"))
     ok: list[bool] = []
 
     def probe():
