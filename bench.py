@@ -226,7 +226,11 @@ def _mt_bucket_slope(blob, bits, label, baseline):
         sizes.setdefault((b.size, small), []).append(i)
     (size0, small), idxs = max(sizes.items(), key=lambda kv: kv[0][0] * len(kv[1]))
     idxs = sorted(idxs, key=lambda i: w_all[i])
-    if bits <= 12 and small and len(idxs) >= 2 and K._USE_PAIR_KERNEL:
+    # pair whenever the dispatch would (build_pair_arrays handles >128-
+    # symbol blocks via gather256 small_rank=False) — requiring `small` here
+    # measured the HALF-OCCUPANCY single path on the x-ray corpus, whose
+    # blocks all carry ~256 nonzero symbols (the 3.0 GiB/s r4 artifact)
+    if bits <= 12 and len(idxs) >= 2 and K._USE_PAIR_KERNEL:
         idxs = idxs[: len(idxs) // 2 * 2]
         arrs, kw = K.build_pair_arrays([kb[i] for i in idxs], [w_all[i] for i in idxs], stream, bits)
         kernel_fn, xor_i = K._decode_pairs, 7
@@ -394,6 +398,14 @@ def bench_mt32_quad(corpus):
         if b.size % 512 == 0:
             sizes.setdefault(b.size, []).append(i)
     size0, idxs = max(sizes.items(), key=lambda kv: kv[0] * len(kv[1]))
+    # bucket by rank class as the dispatch does (one 256-symbol block would
+    # poison the whole bucket's rank_mode to the no-merge worst case)
+    classes: dict[int, list[int]] = {}
+    for i in idxs:
+        nz = int(np.count_nonzero(kb[i].freq))
+        cls = 32 if nz <= 32 else 64 if nz <= 64 else 128 if nz <= 128 else 256
+        classes.setdefault(cls, []).append(i)
+    idxs = max(classes.values(), key=len)
     idxs = sorted(idxs, key=lambda i: w_all[i])
     nbq = len(idxs) // 4 * 4
     blk = [kb[i] for i in idxs[:nbq]]

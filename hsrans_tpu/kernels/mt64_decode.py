@@ -493,8 +493,17 @@ def mt64_decode_tpu(
     buckets: dict[tuple, list[int]] = {}
     for i, b in enumerate(kernel_blocks):
         if b.size % 512 == 0:
-            small = bits <= 12 and int(np.count_nonzero(b.freq)) <= 128
-            buckets.setdefault((b.size, small), []).append(i)
+            nz = int(np.count_nonzero(b.freq))
+            if n == 32 and bits <= 12:
+                # quad rank tables merge by alphabet class (<=32: 1 gather,
+                # <=64: 2, <=128: 4, else per-quarter 256-entry pairs);
+                # build_quad_arrays takes ONE rank_mode per bucket, so one
+                # 256-symbol block in a text bucket would poison every quad
+                # to the worst mode — bucket by class instead
+                key = 32 if nz <= 32 else 64 if nz <= 64 else 128 if nz <= 128 else 256
+            else:
+                key = bits <= 12 and nz <= 128
+            buckets.setdefault((b.size, key), []).append(i)
 
     decoded: dict[int, np.ndarray] = {}  # kernel_blocks index -> bytes
     for (size0, _small), idxs in sorted(buckets.items()):
