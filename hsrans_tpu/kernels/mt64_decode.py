@@ -88,6 +88,9 @@ _PAIR_TILE_BYTES = int(_os.environ.get("HSRANS_PAIR_TILE_MB", "24")) << 20
 _USE_PAIR_KERNEL = _os.environ.get("HSRANS_NO_PAIR") != "1"
 _USE_QUAD_KERNEL = _os.environ.get("HSRANS_NO_QUAD") != "1"
 _PREFIX_MXU = True  # triangular-matmul prefix vs log-shift rolls (experiment)
+# fold the per-half totals into the prefix matmul as 128 extra all-ones
+# columns ([128,256] operand): kills two slice-broadcasts + a where per step
+_PREFIX_TOT = _os.environ.get("HSRANS_PREFIX_TOT", "1") == "1"
 
 
 def _exclusive_prefix_halves(consume, g_rows: int, lane):
@@ -775,14 +778,25 @@ def _mt64_pair_kernel(
 
         if _counterfactual("HSRANS_NO_MATMUL"):
             prefix = consume.astype(jnp.int32)  # WRONG OUTPUT: timing counterfactual
+            tot = prefix
+        elif _PREFIX_TOT:
+            # one [128,256] matmul yields the exclusive prefix AND each
+            # half's total broadcast to its lanes — kills the two slice-
+            # broadcasts and the where(is_b) below (the matmul is ~23% of
+            # the step, so the extra MXU columns ride its staging)
+            pt = jnp.dot(consume.astype(jnp.int8), tri_s8, preferred_element_type=jnp.int32)
+            prefix = pt[:, :128]
+            tot = pt[:, 128:]
         elif _PREFIX_MXU:
             # s8 x s8 -> s32 runs the MXU at twice the bf16 rate and skips
             # both float casts (measured +5.5%, exact)
             prefix = jnp.dot(consume.astype(jnp.int8), tri_s8, preferred_element_type=jnp.int32)
         else:
             prefix = _exclusive_prefix_halves(consume, g_rows, lane)
-        tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
-        tot_b = prefix[:, 127:128] + consume[:, 127:128].astype(jnp.int32)
+        if not _PREFIX_TOT and not _counterfactual("HSRANS_NO_MATMUL"):
+            tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
+            tot_b = prefix[:, 127:128] + consume[:, 127:128].astype(jnp.int32)
+            tot = jnp.where(is_b, tot_b, tot_a)
 
         widx = rw + prefix
         rel = (widx >> 1) - (half_c0 << 6)  # in [0, 192) per half
@@ -794,7 +808,7 @@ def _mt64_pair_kernel(
             w32 = jnp.where(hsel == h, cand, w32)
         word = (pltpu.bitcast(w32, jnp.uint32) >> pltpu.bitcast((widx & 1) << 4, jnp.uint32)) & jnp.uint32(0xFFFF)
         states = jnp.where(consume, (states << jnp.uint32(16)) | word, states)
-        rw = rw + jnp.where(is_b, tot_b, tot_a)
+        rw = rw + tot
 
         # vertical pack: byte i of acc[l] = step i's symbol at lane l.  Pure
         # elementwise (no lane-crossing rolls on the hot loop); the wire-
@@ -829,7 +843,13 @@ def _tri_pair_operand():
     if _TRI_PAIR is None:
         r = np.arange(L)[:, None]
         c = np.arange(L)[None, :]
-        _TRI_PAIR = ((r < c) & ((r >= 64) == (c >= 64))).astype(np.int8)
+        same_half = (r >= 64) == (c >= 64)
+        tri = ((r < c) & same_half).astype(np.int8)
+        if _PREFIX_TOT:
+            # extra 128 all-ones-within-half columns: consume @ [:,128:]
+            # broadcasts each half's consume total to its own lanes
+            tri = np.concatenate([tri, same_half.astype(np.int8)], axis=1)
+        _TRI_PAIR = tri
     return _TRI_PAIR
 
 
@@ -848,7 +868,7 @@ def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, stat
         grid=(n_groups, s4c_slice),
         in_specs=[row_spec] * 8
         + [
-            pl.BlockSpec((L, 128), lambda g, s4: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 256 if _PREFIX_TOT else 128), lambda g, s4: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w_chunks, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM),
             row_spec,
             row_spec,
