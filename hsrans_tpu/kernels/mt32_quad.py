@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.histogram import complete_hist
 from ..ops.tpx import make_rank_tables
 from ..rans import DECODE_CONSUME_POINT_16
-from .mt64_decode import _PAIR_TILE_BYTES, L
+from .mt64_decode import _PAIR_TILE_BYTES, _PREFIX_TOT, L
 from .tpx_encode import gather256
 
 import os as _os
@@ -48,7 +48,7 @@ def _mt32_quad_kernel(
     bmt0_ref, bmt1_ref, bmt2_ref, bmt3_ref,  # VMEM [G,128] i32 boundary bitmasks
     tpt0_ref, tpt1_ref, tpt2_ref, tpt3_ref,  # VMEM [G,128] i32 packed rank tables
     tph0_ref, tph1_ref, tph2_ref, tph3_ref,  # ranks 128..255 (rank_mode 256 only)
-    tri_ref,  # VMEM [128,128] i8 block-diagonal strict-lower triangular
+    tri_ref,  # VMEM [128,128(+128 fused-totals cols)] i8 block-diagonal strict-lower
     stream_ref,  # VMEM [C,G,128] i32: per-quarter 32-slot interleaved chunks
     init_ref,  # VMEM [G,128] u32: quarter q's 32 states at lanes 32q..
     rw_in_ref,  # VMEM [G,128] i32 per-quarter word cursors on entry
@@ -171,11 +171,19 @@ def _mt32_quad_kernel(
         states = (states >> jnp.uint32(bits)) * freq + slot - cum
         consume = states < consume_point
 
-        prefix = jnp.dot(consume.astype(jnp.int8), tri_s8, preferred_element_type=jnp.int32)
-        tot = jnp.zeros((g_rows, L), jnp.int32)
-        for q in range(4):
-            e = 32 * q + 31
-            tot = jnp.where(quarter == q, prefix[:, e : e + 1] + consume[:, e : e + 1].astype(jnp.int32), tot)
+        pt = jnp.dot(consume.astype(jnp.int8), tri_s8, preferred_element_type=jnp.int32)
+        if _PREFIX_TOT:
+            # fused totals columns (see _mt64_pair_kernel): the 128 extra
+            # same-quarter all-ones columns replace the 4-slice/4-where
+            # per-quarter total broadcast below
+            prefix = pt[:, :128]
+            tot = pt[:, 128:]
+        else:
+            prefix = pt
+            tot = jnp.zeros((g_rows, L), jnp.int32)
+            for q in range(4):
+                e = 32 * q + 31
+                tot = jnp.where(quarter == q, prefix[:, e : e + 1] + consume[:, e : e + 1].astype(jnp.int32), tot)
 
         widx = rw + prefix
         rel = (widx >> 1) - (quarter_c0 << 5)
@@ -219,7 +227,10 @@ def _tri_quad_operand():
     if _TRI_QUAD is None:
         r = np.arange(L)[:, None]
         c = np.arange(L)[None, :]
-        _TRI_QUAD = ((r < c) & ((r >> 5) == (c >> 5))).astype(np.int8)
+        tri = ((r < c) & ((r >> 5) == (c >> 5))).astype(np.int8)
+        if _PREFIX_TOT:
+            tri = np.concatenate([tri, ((r >> 5) == (c >> 5)).astype(np.int8)], axis=1)
+        _TRI_QUAD = tri
     return _TRI_QUAD
 
 
@@ -235,7 +246,7 @@ def _quads_call(*args, g_rows, n_groups, s4c, w_chunks, bits, rank_mode, interpr
         grid=(n_groups, s4c),
         in_specs=[row_spec] * 16
         + [
-            pl.BlockSpec((L, 128), lambda g, s4: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 256 if _PREFIX_TOT else 128), lambda g, s4: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w_chunks, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM),
             row_spec,
             row_spec,

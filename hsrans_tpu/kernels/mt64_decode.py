@@ -650,7 +650,7 @@ def _mt64_pair_kernel(
     tpb_ref,  # VMEM [G, 128] i32: (B, ranks 0..127)
     tpa_hi_ref,  # VMEM [G, 128] i32: ranks 128..255 (zeros when small_rank)
     tpb_hi_ref,
-    tri_ref,  # VMEM [128, 128] i8: per-half strict-lower triangular
+    tri_ref,  # VMEM [128, 128(+128 fused-totals cols)] i8: per-half strict-lower
     stream_ref,  # VMEM [C, G, 128] i32: interleaved half-chunk streams
     init_ref,  # VMEM [G, 128] u32: A's states in lanes 0..63, B's in 64..127
     rw_in_ref,  # VMEM [G, 128] i32: per-half word cursors on slice entry
@@ -1479,7 +1479,15 @@ def _mt64_pair_kernel_hb(
         # columns: tot_a/tot_b read columns 63/127, which accumulate the
         # half's full consume sum through the unmasked upper columns
         tri_m = tri_m & ((tri_r & 63) < n)
-    tri_s8 = tri_m.astype(jnp.int8)
+    if _PREFIX_TOT:
+        # fused totals columns (see _mt64_pair_kernel): one [128,256] matmul
+        # yields prefix AND per-half totals, killing the slice-broadcasts
+        tot_m = (tri_r >= 64) == (tri_c >= 64)
+        if n < 64:
+            tot_m = tot_m & ((tri_r & 63) < n)
+        tri_s8 = jnp.concatenate([tri_m, tot_m], axis=1).astype(jnp.int8)
+    else:
+        tri_s8 = tri_m.astype(jnp.int8)
 
     w_in_step = lane & 31
     wa = jnp.where(w_in_step < 16, w_in_step, w_in_step - 16)
@@ -1554,9 +1562,15 @@ def _mt64_pair_kernel_hb(
             consume = new_states < consume_point
         states = new_states
 
-        prefix = jnp.dot(consume.astype(jnp.int8), tri_s8, preferred_element_type=jnp.int32)
-        tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
-        tot_b = prefix[:, 127:128] + consume[:, 127:128].astype(jnp.int32)
+        pt = jnp.dot(consume.astype(jnp.int8), tri_s8, preferred_element_type=jnp.int32)
+        if _PREFIX_TOT:
+            prefix = pt[:, :128]
+            tot = pt[:, 128:]
+        else:
+            prefix = pt
+            tot_a = prefix[:, 63:64] + consume[:, 63:64].astype(jnp.int32)
+            tot_b = prefix[:, 127:128] + consume[:, 127:128].astype(jnp.int32)
+            tot = jnp.where(is_b, tot_b, tot_a)
 
         widx = rw + prefix
         rel = (widx >> 1) - (half_c0 << 6)
@@ -1568,7 +1582,7 @@ def _mt64_pair_kernel_hb(
             w32 = jnp.where(hsel == h, cand, w32)
         word = (pltpu.bitcast(w32, jnp.uint32) >> pltpu.bitcast((widx & 1) << 4, jnp.uint32)) & jnp.uint32(0xFFFF)
         states = jnp.where(consume, (states << jnp.uint32(16)) | word, states)
-        rw = rw + jnp.where(is_b, tot_b, tot_a)
+        rw = rw + tot
         acc = acc | (sym << (i * 8))
         return states, rw, acc
 

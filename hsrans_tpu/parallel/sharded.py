@@ -253,6 +253,45 @@ def uniform_plan(data: np.ndarray, bits: int, n: int, block_size: int = 1 << 16)
     return rows
 
 
+def device_plan(
+    data: np.ndarray, bits: int, n: int = 64, max_block: int = 32 << 10
+) -> list[BlockPlan]:
+    """Greedy plan with coded blocks capped at `max_block` for the device.
+
+    The reference's greedy planner (ops/planner.py, mirror of
+    mt_rANS32x64_16w_encode.cpp:21-133) coalesces homogeneous spans into
+    blocks up to 2^25 bytes — ideal for its 32-thread serial decoders, but
+    chain-STARVING for the batched kernel, which wants >= 256 independent
+    blocks per 64 MiB to stay in the issue-bound regime (measured: the
+    x-ray corpus plans into 224 mixed-size blocks that decode at 5.8 GiB/s
+    vs 14.4 at uniform 16 KiB).  This keeps the planner's content cuts and
+    free RLE single-symbol rows but splits oversized CODED blocks into
+    512-aligned pieces, recomputing per-piece histograms (splitting only
+    ever sharpens them).  Any segmentation is wire-format-valid; the blob
+    stays decodable by the reference.
+    """
+    from ..ops.planner import plan_blocks
+    from ..ops.tpx import make_tile_hist
+
+    rows = plan_blocks(data, bits, "mt", n)
+    out: list[BlockPlan] = []
+    for r in rows:
+        if r.is_single or r.size <= max_block:
+            out.append(r)
+            continue
+        n_pieces = -(-r.size // max_block)
+        base = r.size // n_pieces // 512 * 512
+        if base == 0:
+            out.append(r)
+            continue
+        starts = [r.start + i * base for i in range(n_pieces)]
+        ends = starts[1:] + [r.start + r.size]
+        for s, e in zip(starts, ends):
+            freq = make_tile_hist(data[s:e], bits).symbol_count
+            out.append(BlockPlan(s, e - s, False, 0, freq))
+    return out
+
+
 @partial(jax.jit, static_argnames=("bits", "num_steps", "mesh", "axis"))
 def _encode_batched(states, group_bytes, valid, freq_tab, cumul_tab, *, bits, num_steps, mesh, axis):
     def local(states, group_bytes, valid, freq_tab, cumul_tab):

@@ -131,6 +131,26 @@ int main(int argc, char **argv) {
     return out
 
 
+def test_reference_binary_decodes_our_device_plan_blob(ref_mt_drive, tmp_path):
+    """Wire interop for device_plan segmentation (greedy plan with coded
+    blocks split at the device cap): mixed single-symbol RLE rows + capped
+    coded rows must decode byte-exactly through the unmodified reference."""
+    from hsrans_tpu.ops.mt import mt_encode
+    from hsrans_tpu.parallel.sharded import device_plan
+    from hsrans_tpu.runtime.native import fnv1a
+
+    xr = np.fromfile(Path(__file__).parent / "corpus" / "xray.bin", np.uint8)[: 2 << 20]
+    blob = mt_encode(xr, 12, 64, plan=device_plan(xr, 12, 64, 32 << 10))
+    p = tmp_path / "dp.blob"
+    p.write_bytes(blob)
+    r = subprocess.run(
+        [str(ref_mt_drive), str(p), str(xr.size)], capture_output=True, text=True, timeout=120
+    )
+    got_n, got_h = r.stdout.split()
+    assert int(got_n) == xr.size
+    assert got_h == f"{fnv1a(xr.tobytes()):016x}"
+
+
 def test_reference_binary_decodes_our_uniform_blob(ref_mt_drive, tmp_path):
     """Wire interop: the unmodified C++ reference decodes our blobs."""
     from hsrans_tpu.runtime.native import fnv1a
