@@ -315,6 +315,27 @@ def bench_mt_xray():
         _mt_bucket_slope(blob, bits, f"mt_xray_decode_B{bits}", base)
 
 
+def bench_mt_device_plan(corpus_big):
+    """mt decode on device_plan blobs — the TPU-first segmentation (greedy
+    content cuts + RLE rows, coded blocks capped so the batched kernel gets
+    >= 256 chains; parallel/sharded.py device_plan).  Wire-format-valid and
+    reference-decodable; ratios recorded next to each speed row so the
+    trade stays visible.  Caps per depth from the r4 on-device sweep
+    (16 KiB at B10/B12, 32 KiB at B15 — high-B headers amortize slower)."""
+    from hsrans_tpu.ops.mt import mt_encode
+    from hsrans_tpu.parallel.sharded import device_plan
+
+    xr = np.fromfile(os.path.join(REPO, "tests", "corpus", "xray.bin"), np.uint8)
+    xr_big = np.tile(xr, max(1, SIZE_MB // 8))
+    for bits, cap, base in ((12, 16 << 10, 13207.0), (10, 16 << 10, 18035.77), (15, 24 << 10, 7471.0)):
+        blob = mt_encode(xr_big, bits, 64, plan=device_plan(xr_big, bits, 64, cap))
+        record(f"ratio_mt_dp_xray_B{bits}", len(blob) / xr_big.size, "ratio")
+        _mt_bucket_slope(blob, bits, f"mt_dp_xray_decode_B{bits}", base)
+    blob = mt_encode(corpus_big, BITS, 64, plan=device_plan(corpus_big, BITS, 64, 16 << 10))
+    record("ratio_mt_dp_corpus", len(blob) / corpus_big.size, "ratio")
+    _mt_bucket_slope(blob, BITS, "mt_dp_decode_B12", BASELINE_MT)
+
+
 _INTERP = os.environ.get("HSRANS_BENCH_INTERPRET") == "1"  # CPU smoke runs
 
 
@@ -640,6 +661,7 @@ def main() -> None:
             corpus, BITS, "tpx_corpus_decode_ratio_goal",
             p=__import__("hsrans_tpu.ops.tpx", fromlist=["TpxParams"]).TpxParams.auto(corpus.size, BITS, "ratio"),
         ),
+        lambda: bench_mt_device_plan(corpus_big),
         # --- first-compile tier below this line ---
         lambda: bench_mt_low_bits(corpus_big),
         bench_mt_xray,
