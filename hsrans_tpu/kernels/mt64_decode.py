@@ -1053,6 +1053,7 @@ def decode_bucket_paired(
             kwc = dict(
                 g_rows=kw["g_rows"], n_groups=kw["n_groups"] // n_dev_hb,
                 s4c=kw["s4c"], w_chunks=kw["w_chunks"], bits=bits, n=n,
+                packed=kw["packed"], sym_lin=kw["sym_lin"],
                 interpret=interpret,
             )
             fn = jax.shard_map(
@@ -1408,6 +1409,56 @@ def _hb_tables(rt: dict, bits: int) -> np.ndarray:
     return out.view(np.int32)
 
 
+# Packed-starts alternative for sparse-boundary histograms: one u32 per
+# 64-slot group carries the group's rank base AND up to three in-group
+# symbol-start positions, so the per-step rank needs ONE gather per class
+# per half instead of cp(1) + bm lo/hi(2*nc).  At B=15 x-ray (256 symbols
+# over 512 groups) this cuts the step from ~27 gathers to ~15; the gate
+# (<= 3 starts at positions >= 1 per group) holds whenever the alphabet is
+# spread thinner than ~4 symbols per 64 slots — measured: every x-ray
+# device_plan block at B14/B15 passes, B13 does not (5-6 starts/group).
+
+def _hb_packed_layout(bits: int) -> tuple[int, int]:
+    pnc = max(1, (1 << bits) // 64 // 128)  # 128-entry classes of groups
+    return pnc, pnc + 3
+
+
+def _hb_tables_packed(rt: dict, bits: int) -> tuple[np.ndarray, bool] | None:
+    """[Kp, 128] i32 packed-starts stack, or None when a group has > 3
+    starts at positions >= 1 (position-0 starts are absorbed into the
+    group's rank base, exactly like the bm kernel's bit-1..s6 masks).
+    Second element: whether the present alphabet is contiguous (sym ==
+    rank + first_sym), which lets the kernel skip the sp4 gather."""
+    pnc, K = _hb_packed_layout(bits)
+    n64 = (1 << bits) // 64
+    c064 = rt["c0"].astype(np.uint32)[0::2][:n64]
+    bmlo = rt["bm"].view(np.uint32)[0::2][:n64]
+    bmhi = rt["bm"].view(np.uint32)[1::2][:n64]
+    b64 = bmlo.astype(np.uint64) | (bmhi.astype(np.uint64) << np.uint64(32))
+    b64 &= np.uint64(0xFFFFFFFFFFFFFFFE)  # drop position 0
+    bits_m = np.unpackbits(b64.view(np.uint8).reshape(n64, 8), axis=1, bitorder="little")
+    cnt = bits_m.sum(axis=1)
+    if int(cnt.max()) > 3:
+        return None
+    pos = np.argsort(1 - bits_m, axis=1, kind="stable")[:, :3].astype(np.uint32)
+    valid = np.arange(3)[None, :] < cnt[:, None]
+    p = np.where(valid, pos, np.uint32(127))
+    pk = c064 | (p[:, 0] << np.uint32(9)) | (p[:, 1] << np.uint32(16)) | (p[:, 2] << np.uint32(23))
+    t1 = rt["t1"].view(np.uint32)
+    t2 = rt["t2"].view(np.uint32)
+    sym = t1 & 0xFF
+    fc = (t1 >> 8) | (t2 << np.uint32(16))
+    nsym = int(cnt.sum()) + int((bmlo & np.uint32(1)).sum())  # + position-0 starts
+    lin = bool((sym[:nsym] == (sym[0] + np.arange(nsym, dtype=np.uint32))).all())
+    out = np.zeros((K, 128), np.uint32)
+    out[:pnc] = pk.reshape(pnc, 128)  # n64 == pnc * 128 exactly for bits >= 13
+    out[pnc] = fc[:128]
+    out[pnc + 1] = fc[128:]
+    sp4 = sym[0::4] | (sym[1::4] << 8) | (sym[2::4] << 16) | (sym[3::4] << 24)
+    out[pnc + 2, :64] = sp4
+    return out.view(np.int32), lin
+
+
 def _mt64_pair_kernel_hb(
     taba_ref,  # VMEM [K, G, 128] i32: block A's table stack
     tabb_ref,  # VMEM [K, G, 128] i32: block B's
@@ -1424,6 +1475,8 @@ def _mt64_pair_kernel_hb(
     bits: int,
     s4c_slice: int,
     n: int = N,
+    packed: bool = False,
+    sym_lin: bool = False,
 ):
     s4 = pl.program_id(1)
 
@@ -1436,6 +1489,7 @@ def _mt64_pair_kernel_hb(
     consume_point = jnp.uint32(DECODE_CONSUME_POINT_16)
     w_chunks = stream_ref.shape[0]
     nc, _K = _hb_layout(bits)
+    pnc, _Kp = _hb_packed_layout(bits)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
     is_b = lane >= 64
@@ -1462,14 +1516,21 @@ def _mt64_pair_kernel_hb(
     zero_win = jnp.zeros((g_rows, 128), jnp.int32)
     window = jax.lax.fori_loop(cmin, cmax, wbody, (zero_win, zero_win, zero_win))
 
-    cpa, cpb = taba_ref[0], tabb_ref[0]
-    bmloa = [pltpu.bitcast(taba_ref[1 + c], jnp.uint32) for c in range(nc)]
-    bmhia = [pltpu.bitcast(taba_ref[1 + nc + c], jnp.uint32) for c in range(nc)]
-    bmlob = [pltpu.bitcast(tabb_ref[1 + c], jnp.uint32) for c in range(nc)]
-    bmhib = [pltpu.bitcast(tabb_ref[1 + nc + c], jnp.uint32) for c in range(nc)]
-    fca_lo, fca_hi = taba_ref[1 + 2 * nc], taba_ref[2 + 2 * nc]
-    fcb_lo, fcb_hi = tabb_ref[1 + 2 * nc], tabb_ref[2 + 2 * nc]
-    spa, spb = taba_ref[3 + 2 * nc], tabb_ref[3 + 2 * nc]
+    if packed:
+        pka = [taba_ref[c] for c in range(pnc)]
+        pkb = [tabb_ref[c] for c in range(pnc)]
+        fca_lo, fca_hi = taba_ref[pnc], taba_ref[pnc + 1]
+        fcb_lo, fcb_hi = tabb_ref[pnc], tabb_ref[pnc + 1]
+        spa, spb = taba_ref[pnc + 2], tabb_ref[pnc + 2]
+    else:
+        cpa, cpb = taba_ref[0], tabb_ref[0]
+        bmloa = [pltpu.bitcast(taba_ref[1 + c], jnp.uint32) for c in range(nc)]
+        bmhia = [pltpu.bitcast(taba_ref[1 + nc + c], jnp.uint32) for c in range(nc)]
+        bmlob = [pltpu.bitcast(tabb_ref[1 + c], jnp.uint32) for c in range(nc)]
+        bmhib = [pltpu.bitcast(tabb_ref[1 + nc + c], jnp.uint32) for c in range(nc)]
+        fca_lo, fca_hi = taba_ref[1 + 2 * nc], taba_ref[2 + 2 * nc]
+        fcb_lo, fcb_hi = tabb_ref[1 + 2 * nc], tabb_ref[2 + 2 * nc]
+        spa, spb = taba_ref[3 + 2 * nc], tabb_ref[3 + 2 * nc]
 
     tri_r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     tri_c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
@@ -1500,46 +1561,78 @@ def _mt64_pair_kernel_hb(
         states, rw, acc = carry
         slot = states & mask_slot
         k6 = pltpu.bitcast(slot, jnp.int32) >> 6
-        j = k6 >> 2
-        cpv = pltpu.bitcast(
-            jnp.where(is_b, jnp.take_along_axis(cpb, j, axis=1), jnp.take_along_axis(cpa, j, axis=1)),
-            jnp.uint32,
-        )
-        sub = k6 & 3
-        base = cpv & jnp.uint32(0x1FF)
-        d = jnp.where(
-            sub == 1,
-            (cpv >> jnp.uint32(9)) & jnp.uint32(0x7F),
-            jnp.where(
-                sub == 2,
-                (cpv >> jnp.uint32(16)) & jnp.uint32(0xFF),
-                jnp.where(sub == 3, cpv >> jnp.uint32(24), jnp.uint32(0)),
-            ),
-        )
-        c0v = pltpu.bitcast(base + d, jnp.int32)
-
-        kw = k6 & 127
-        kwu = pltpu.bitcast(kw, jnp.uint32)
-        if nc == 1:
-            lov = jnp.where(is_b, jnp.take_along_axis(bmlob[0], kwu, axis=1), jnp.take_along_axis(bmloa[0], kwu, axis=1))
-            hiv = jnp.where(is_b, jnp.take_along_axis(bmhib[0], kwu, axis=1), jnp.take_along_axis(bmhia[0], kwu, axis=1))
+        if packed:
+            # ONE u32 per 64-slot group: rank base (9b) + up to 3 in-group
+            # start positions (7b each, 127 = absent): rank = base +
+            # #(starts <= s6).  Replaces cp + bm lo/hi (2 + 4*nc gathers)
+            # with pnc gathers per half.
+            if pnc == 1:
+                pv = jnp.where(
+                    is_b,
+                    jnp.take_along_axis(pkb[0], k6, axis=1),
+                    jnp.take_along_axis(pka[0], k6, axis=1),
+                )
+            else:
+                kwi = k6 & 127
+                kc = k6 >> 7
+                pv = jnp.zeros((g_rows, L), jnp.int32)
+                for c in range(pnc):
+                    pc = jnp.where(
+                        is_b,
+                        jnp.take_along_axis(pkb[c], kwi, axis=1),
+                        jnp.take_along_axis(pka[c], kwi, axis=1),
+                    )
+                    pv = jnp.where(kc == c, pc, pv)
+            pvu = pltpu.bitcast(pv, jnp.uint32)
+            s6 = slot & jnp.uint32(63)
+            hit1 = s6 >= ((pvu >> jnp.uint32(9)) & jnp.uint32(0x7F))
+            hit2 = s6 >= ((pvu >> jnp.uint32(16)) & jnp.uint32(0x7F))
+            hit3 = s6 >= (pvu >> jnp.uint32(23))
+            rank = (
+                pltpu.bitcast(pvu & jnp.uint32(0x1FF), jnp.int32)
+                + hit1.astype(jnp.int32) + hit2.astype(jnp.int32) + hit3.astype(jnp.int32)
+            )
         else:
-            kc = k6 >> 7
-            lov = jnp.zeros((g_rows, L), jnp.uint32)
-            hiv = jnp.zeros((g_rows, L), jnp.uint32)
-            for c in range(nc):
-                sel = kc == c
-                lo_c = jnp.where(is_b, jnp.take_along_axis(bmlob[c], kwu, axis=1), jnp.take_along_axis(bmloa[c], kwu, axis=1))
-                hi_c = jnp.where(is_b, jnp.take_along_axis(bmhib[c], kwu, axis=1), jnp.take_along_axis(bmhia[c], kwu, axis=1))
-                lov = jnp.where(sel, lo_c, lov)
-                hiv = jnp.where(sel, hi_c, hiv)
-        s6 = slot & jnp.uint32(63)
-        in_lo = s6 < jnp.uint32(32)
-        mlo = jnp.where(in_lo, (jnp.uint32(2) << s6) - jnp.uint32(2), jnp.uint32(0xFFFFFFFE))
-        mhi = jnp.where(in_lo, jnp.uint32(0), (jnp.uint32(2) << (s6 & jnp.uint32(31))) - jnp.uint32(1))
-        rank = c0v + pltpu.bitcast(
-            jax.lax.population_count(lov & mlo) + jax.lax.population_count(hiv & mhi), jnp.int32
-        )
+            j = k6 >> 2
+            cpv = pltpu.bitcast(
+                jnp.where(is_b, jnp.take_along_axis(cpb, j, axis=1), jnp.take_along_axis(cpa, j, axis=1)),
+                jnp.uint32,
+            )
+            sub = k6 & 3
+            base = cpv & jnp.uint32(0x1FF)
+            d = jnp.where(
+                sub == 1,
+                (cpv >> jnp.uint32(9)) & jnp.uint32(0x7F),
+                jnp.where(
+                    sub == 2,
+                    (cpv >> jnp.uint32(16)) & jnp.uint32(0xFF),
+                    jnp.where(sub == 3, cpv >> jnp.uint32(24), jnp.uint32(0)),
+                ),
+            )
+            c0v = pltpu.bitcast(base + d, jnp.int32)
+
+            kw = k6 & 127
+            kwu = pltpu.bitcast(kw, jnp.uint32)
+            if nc == 1:
+                lov = jnp.where(is_b, jnp.take_along_axis(bmlob[0], kwu, axis=1), jnp.take_along_axis(bmloa[0], kwu, axis=1))
+                hiv = jnp.where(is_b, jnp.take_along_axis(bmhib[0], kwu, axis=1), jnp.take_along_axis(bmhia[0], kwu, axis=1))
+            else:
+                kc = k6 >> 7
+                lov = jnp.zeros((g_rows, L), jnp.uint32)
+                hiv = jnp.zeros((g_rows, L), jnp.uint32)
+                for c in range(nc):
+                    sel = kc == c
+                    lo_c = jnp.where(is_b, jnp.take_along_axis(bmlob[c], kwu, axis=1), jnp.take_along_axis(bmloa[c], kwu, axis=1))
+                    hi_c = jnp.where(is_b, jnp.take_along_axis(bmhib[c], kwu, axis=1), jnp.take_along_axis(bmhia[c], kwu, axis=1))
+                    lov = jnp.where(sel, lo_c, lov)
+                    hiv = jnp.where(sel, hi_c, hiv)
+            s6 = slot & jnp.uint32(63)
+            in_lo = s6 < jnp.uint32(32)
+            mlo = jnp.where(in_lo, (jnp.uint32(2) << s6) - jnp.uint32(2), jnp.uint32(0xFFFFFFFE))
+            mhi = jnp.where(in_lo, jnp.uint32(0), (jnp.uint32(2) << (s6 & jnp.uint32(31))) - jnp.uint32(1))
+            rank = c0v + pltpu.bitcast(
+                jax.lax.population_count(lov & mlo) + jax.lax.population_count(hiv & mhi), jnp.int32
+            )
 
         fcv = pltpu.bitcast(
             jnp.where(is_b, gather256(fcb_lo, fcb_hi, rank), gather256(fca_lo, fca_hi, rank)),
@@ -1547,12 +1640,17 @@ def _mt64_pair_kernel_hb(
         )
         freq = fcv & jnp.uint32(0xFFFF)
         cum = fcv >> jnp.uint32(16)
-        r4 = rank >> 2
-        s4v = pltpu.bitcast(
-            jnp.where(is_b, jnp.take_along_axis(spb, r4, axis=1), jnp.take_along_axis(spa, r4, axis=1)),
-            jnp.uint32,
-        )
-        sym = pltpu.bitcast((s4v >> pltpu.bitcast((rank & 3) << 3, jnp.uint32)) & jnp.uint32(0xFF), jnp.int32)
+        if sym_lin:
+            # contiguous alphabet: sym = rank + per-half first symbol (the
+            # sp row holds the broadcast first_sym) — no sp4 gather at all
+            sym = rank + jnp.where(is_b, spb, spa)
+        else:
+            r4 = rank >> 2
+            s4v = pltpu.bitcast(
+                jnp.where(is_b, jnp.take_along_axis(spb, r4, axis=1), jnp.take_along_axis(spa, r4, axis=1)),
+                jnp.uint32,
+            )
+            sym = pltpu.bitcast((s4v >> pltpu.bitcast((rank & 3) << 3, jnp.uint32)) & jnp.uint32(0xFF), jnp.int32)
 
         new_states = (states >> jnp.uint32(bits)) * freq + slot - cum
         if n < 64:
@@ -1604,11 +1702,14 @@ def _mt64_pair_kernel_hb(
     out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
-def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, interpret=False):
+def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, interpret=False):
     """The B>12 paired pallas_call over n_groups row groups (the unit a
     shard_map shards: each device runs its slice of the groups)."""
     K, npad = taba.shape[0], taba.shape[1]
-    kernel = functools.partial(_mt64_pair_kernel_hb, g_rows=g_rows, bits=bits, s4c_slice=s4c, n=n)
+    kernel = functools.partial(
+        _mt64_pair_kernel_hb, g_rows=g_rows, bits=bits, s4c_slice=s4c, n=n,
+        packed=packed, sym_lin=sym_lin,
+    )
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((K, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -1639,14 +1740,14 @@ def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_ch
     )(taba, tabb, stream, init, rw0)
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "n", "interpret"))
-def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, interpret=False):
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "n", "packed", "sym_lin", "interpret"))
+def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, interpret=False):
     """Paired decode for B=13..15 (no slicing: high-B buckets are few-row)."""
     npad = taba.shape[1]
     out, _states, _rw = _pairs_hb_call(
         taba, tabb, stream, init, jnp.zeros((npad, 128), jnp.int32),
         g_rows=g_rows, n_groups=n_groups, s4c=s4c, w_chunks=w_chunks,
-        bits=bits, n=n, interpret=interpret,
+        bits=bits, n=n, packed=packed, sym_lin=sym_lin, interpret=interpret,
     )
     return [(out, jnp.arange(npad, dtype=jnp.int32))]
 
@@ -1679,19 +1780,39 @@ def build_pair_arrays_hb(
     g_rows = max(8, -(-(-(-pairs // n_grp)) // 8) * 8)
     npad = n_grp * g_rows
 
-    nc, K = _hb_layout(bits)
+    rts = []
+    for i in range(nbp):
+        hist = complete_hist(kernel_blocks[i].freq, bits)
+        if hist is None:
+            return None
+        rts.append(make_rank_tables(hist))
+    # packed-starts layout engages only when EVERY block in the bucket
+    # fits (<= 3 non-zero-position starts per 64-slot group); sym_lin only
+    # when every alphabet is contiguous.  HSRANS_NO_HBPACK forces the bm
+    # layout (safe-mode gate, same family as HSRANS_NO_PAIR).
+    stacks = None
+    if _os.environ.get("HSRANS_NO_HBPACK") != "1":
+        stacks = [_hb_tables_packed(rt, bits) for rt in rts]
+        if any(s is None for s in stacks):
+            stacks = None
+    packed = stacks is not None
+    sym_lin = packed and all(lin for _stk, lin in stacks)
+    nc, K = _hb_packed_layout(bits) if packed else _hb_layout(bits)
     taba = np.zeros((K, npad, 128), np.int32)
     tabb = np.zeros((K, npad, 128), np.int32)
     init = np.full((npad, 128), DECODE_CONSUME_POINT_16, np.uint32)
     stream_cm = np.zeros((w_chunks, npad, 128), np.uint32)
     for i in range(nbp):
         b = kernel_blocks[i]
-        hist = complete_hist(b.freq, bits)
-        if hist is None:
-            return None
-        rt = make_rank_tables(hist)
         p, hi = divmod(i, 2)
-        (tabb if hi else taba)[:, p] = _hb_tables(rt, bits)
+        if packed:
+            stk = stacks[i][0].copy()
+            if sym_lin:
+                first_sym = int(stk.view(np.uint32)[nc + 2, 0] & 0xFF)
+                stk[nc + 2, :] = first_sym
+            (tabb if hi else taba)[:, p] = stk
+        else:
+            (tabb if hi else taba)[:, p] = _hb_tables(rts[i], bits)
         words = stream[b.word_start : b.word_start + w_counts[i]].astype(np.uint32)
         if words.size & 1:
             words = np.concatenate([words, np.zeros(1, np.uint32)])
@@ -1701,5 +1822,5 @@ def build_pair_arrays_hb(
         init[p, 64 * hi : 64 * hi + n] = b.states
 
     arrs = [taba, tabb, stream_cm.view(np.int32), init]
-    kw = dict(g_rows=g_rows, n_groups=n_grp, s4c=size0 // (4 * n), w_chunks=w_chunks, bits=bits, n=n)
+    kw = dict(g_rows=g_rows, n_groups=n_grp, s4c=size0 // (4 * n), w_chunks=w_chunks, bits=bits, n=n, packed=packed, sym_lin=sym_lin)
     return arrs, kw
