@@ -1792,9 +1792,13 @@ def build_pair_arrays_hb(
     # layout (safe-mode gate, same family as HSRANS_NO_PAIR).
     stacks = None
     if _os.environ.get("HSRANS_NO_HBPACK") != "1":
-        stacks = [_hb_tables_packed(rt, bits) for rt in rts]
-        if any(s is None for s in stacks):
-            stacks = None
+        stacks = []
+        for rt in rts:
+            s = _hb_tables_packed(rt, bits)
+            if s is None:
+                stacks = None  # one gate failure kills the layout; skip the rest
+                break
+            stacks.append(s)
     packed = stacks is not None
     sym_lin = packed and all(lin for _stk, lin in stacks)
     nc, K = _hb_packed_layout(bits) if packed else _hb_layout(bits)

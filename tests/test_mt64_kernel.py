@@ -427,3 +427,27 @@ def test_mt64_kernel_planner_blob_sharded():
     data = np.fromfile(Path(__file__).parent / "corpus" / "corpus.bin", np.uint8)[: 512 * 1024]
     blob = mt_encode(data, 12, 64)  # greedy planner
     assert mt64_decode_tpu(blob, 12, interpret=True, mesh=mesh) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (14, 15))
+def test_mt64_pair_hb_sym_lin(bits):
+    """Contiguous present alphabet (symbols 17..46) engages the sym_lin
+    fast path of the hb pair kernel (sym = rank + broadcast first_sym, no
+    sp4 gather) — and still roundtrips (ADVICE r4: branch was untested)."""
+    from hsrans_tpu.kernels.mt64_decode import (
+        block_index,
+        block_word_counts,
+        build_pair_arrays_hb,
+    )
+
+    rng = np.random.default_rng(53)
+    data = rng.integers(17, 47, 200_000).astype(np.uint8)
+    blob = _blob(data, 4096, bits=bits)
+    _, stream, blocks = block_index(blob, 64)
+    coded = [b for b in blocks if not b.is_single][:-1]
+    wc = block_word_counts(blocks, coded, stream)
+    nbp = len(coded) // 2 * 2
+    built = build_pair_arrays_hb(coded[:nbp], wc[:nbp], stream, bits)
+    assert built is not None and built[1]["sym_lin"], "sym_lin should engage"
+    assert mt_decode(blob, bits, 64) == data.tobytes()
+    assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
