@@ -1053,7 +1053,7 @@ def decode_bucket_paired(
             kwc = dict(
                 g_rows=kw["g_rows"], n_groups=kw["n_groups"] // n_dev_hb,
                 s4c=kw["s4c"], w_chunks=kw["w_chunks"], bits=bits, n=n,
-                packed=kw["packed"], sym_lin=kw["sym_lin"],
+                packed=kw["packed"], sym_lin=kw["sym_lin"], gbits=kw["gbits"],
                 interpret=interpret,
             )
             fn = jax.shard_map(
@@ -1418,40 +1418,46 @@ def _hb_tables(rt: dict, bits: int) -> np.ndarray:
 # spread thinner than ~4 symbols per 64 slots — measured: every x-ray
 # device_plan block at B14/B15 passes, B13 does not (5-6 starts/group).
 
-def _hb_packed_layout(bits: int) -> tuple[int, int]:
-    pnc = max(1, (1 << bits) // 64 // 128)  # 128-entry classes of groups
+def _hb_packed_layout(bits: int, gbits: int = 6) -> tuple[int, int]:
+    pnc = max(1, (1 << bits) >> gbits >> 7)  # 128-entry classes of groups
     return pnc, pnc + 3
 
 
-def _hb_tables_packed(rt: dict, bits: int) -> tuple[np.ndarray, bool] | None:
-    """[Kp, 128] i32 packed-starts stack, or None when a group has > 3
-    starts at positions >= 1 (position-0 starts are absorbed into the
-    group's rank base, exactly like the bm kernel's bit-1..s6 masks).
+def _hb_tables_packed(rt: dict, bits: int, gbits: int = 6) -> tuple[np.ndarray, bool] | None:
+    """[Kp, 128] i32 packed-starts stack, or None when a 2^gbits-slot group
+    has > 3 starts at positions >= 1 (position-0 starts are absorbed into
+    the group's rank base, exactly like the bm kernel's bit-1..s6 masks).
+    Positions are stored as p-1 and compared with strict > in the kernel,
+    so the 127 sentinel never collides with a real start at position 127
+    (gbits=7 groups have them: 276/308 x-ray B15 blocks).
     Second element: whether the present alphabet is contiguous (sym ==
     rank + first_sym), which lets the kernel skip the sp4 gather."""
-    pnc, K = _hb_packed_layout(bits)
+    pnc, K = _hb_packed_layout(bits, gbits)
+    gsz = 1 << gbits
+    ng = (1 << bits) >> gbits
+    c0g = rt["c0"].astype(np.uint32)[0 :: gsz // 32][:ng]
+    bmlo = rt["bm"].view(np.uint32)[0::2]
+    bmhi = rt["bm"].view(np.uint32)[1::2]
     n64 = (1 << bits) // 64
-    c064 = rt["c0"].astype(np.uint32)[0::2][:n64]
-    bmlo = rt["bm"].view(np.uint32)[0::2][:n64]
-    bmhi = rt["bm"].view(np.uint32)[1::2][:n64]
-    b64 = bmlo.astype(np.uint64) | (bmhi.astype(np.uint64) << np.uint64(32))
-    b64 &= np.uint64(0xFFFFFFFFFFFFFFFE)  # drop position 0
-    bits_m = np.unpackbits(b64.view(np.uint8).reshape(n64, 8), axis=1, bitorder="little")
+    b64 = bmlo[:n64].astype(np.uint64) | (bmhi[:n64].astype(np.uint64) << np.uint64(32))
+    bits_m = np.unpackbits(b64.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little").reshape(ng, gsz)
+    nsym = int(bits_m.sum())
+    bits_m = bits_m.copy()
+    bits_m[:, 0] = 0  # drop position 0 (absorbed into the base)
     cnt = bits_m.sum(axis=1)
     if int(cnt.max()) > 3:
         return None
     pos = np.argsort(1 - bits_m, axis=1, kind="stable")[:, :3].astype(np.uint32)
     valid = np.arange(3)[None, :] < cnt[:, None]
-    p = np.where(valid, pos, np.uint32(127))
-    pk = c064 | (p[:, 0] << np.uint32(9)) | (p[:, 1] << np.uint32(16)) | (p[:, 2] << np.uint32(23))
+    q = np.where(valid, pos - 1, np.uint32(127))  # p-1; kernel tests s > q
+    pk = c0g | (q[:, 0] << np.uint32(9)) | (q[:, 1] << np.uint32(16)) | (q[:, 2] << np.uint32(23))
     t1 = rt["t1"].view(np.uint32)
     t2 = rt["t2"].view(np.uint32)
     sym = t1 & 0xFF
     fc = (t1 >> 8) | (t2 << np.uint32(16))
-    nsym = int(cnt.sum()) + int((bmlo & np.uint32(1)).sum())  # + position-0 starts
     lin = bool((sym[:nsym] == (sym[0] + np.arange(nsym, dtype=np.uint32))).all())
     out = np.zeros((K, 128), np.uint32)
-    out[:pnc] = pk.reshape(pnc, 128)  # n64 == pnc * 128 exactly for bits >= 13
+    out[:pnc].reshape(-1)[:ng] = pk  # ng == pnc * 128 except bits-gbits < 7
     out[pnc] = fc[:128]
     out[pnc + 1] = fc[128:]
     sp4 = sym[0::4] | (sym[1::4] << 8) | (sym[2::4] << 16) | (sym[3::4] << 24)
@@ -1477,6 +1483,7 @@ def _mt64_pair_kernel_hb(
     n: int = N,
     packed: bool = False,
     sym_lin: bool = False,
+    gbits: int = 6,
 ):
     s4 = pl.program_id(1)
 
@@ -1489,7 +1496,7 @@ def _mt64_pair_kernel_hb(
     consume_point = jnp.uint32(DECODE_CONSUME_POINT_16)
     w_chunks = stream_ref.shape[0]
     nc, _K = _hb_layout(bits)
-    pnc, _Kp = _hb_packed_layout(bits)
+    pnc, _Kp = _hb_packed_layout(bits, gbits)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, L), 1)
     is_b = lane >= 64
@@ -1562,19 +1569,22 @@ def _mt64_pair_kernel_hb(
         slot = states & mask_slot
         k6 = pltpu.bitcast(slot, jnp.int32) >> 6
         if packed:
-            # ONE u32 per 64-slot group: rank base (9b) + up to 3 in-group
-            # start positions (7b each, 127 = absent): rank = base +
-            # #(starts <= s6).  Replaces cp + bm lo/hi (2 + 4*nc gathers)
-            # with pnc gathers per half.
+            # ONE u32 per 2^gbits-slot group: rank base (9b) + up to 3
+            # in-group start positions minus one (7b each, 127 = absent,
+            # strict-> compare): rank = base + #(starts <= s_in).  Replaces
+            # cp + bm lo/hi (2 + 4*nc gathers) with pnc gathers per half;
+            # gbits=7 halves pnc again at B>=14 (every x-ray B14/15 block
+            # passes the gate at 128-slot groups, measured).
+            kg = pltpu.bitcast(slot, jnp.int32) >> gbits
             if pnc == 1:
                 pv = jnp.where(
                     is_b,
-                    jnp.take_along_axis(pkb[0], k6, axis=1),
-                    jnp.take_along_axis(pka[0], k6, axis=1),
+                    jnp.take_along_axis(pkb[0], kg, axis=1),
+                    jnp.take_along_axis(pka[0], kg, axis=1),
                 )
             else:
-                kwi = k6 & 127
-                kc = k6 >> 7
+                kwi = kg & 127
+                kc = kg >> 7
                 pv = jnp.zeros((g_rows, L), jnp.int32)
                 for c in range(pnc):
                     pc = jnp.where(
@@ -1584,10 +1594,10 @@ def _mt64_pair_kernel_hb(
                     )
                     pv = jnp.where(kc == c, pc, pv)
             pvu = pltpu.bitcast(pv, jnp.uint32)
-            s6 = slot & jnp.uint32(63)
-            hit1 = s6 >= ((pvu >> jnp.uint32(9)) & jnp.uint32(0x7F))
-            hit2 = s6 >= ((pvu >> jnp.uint32(16)) & jnp.uint32(0x7F))
-            hit3 = s6 >= (pvu >> jnp.uint32(23))
+            s_in = slot & jnp.uint32((1 << gbits) - 1)
+            hit1 = s_in > ((pvu >> jnp.uint32(9)) & jnp.uint32(0x7F))
+            hit2 = s_in > ((pvu >> jnp.uint32(16)) & jnp.uint32(0x7F))
+            hit3 = s_in > (pvu >> jnp.uint32(23))
             rank = (
                 pltpu.bitcast(pvu & jnp.uint32(0x1FF), jnp.int32)
                 + hit1.astype(jnp.int32) + hit2.astype(jnp.int32) + hit3.astype(jnp.int32)
@@ -1702,13 +1712,13 @@ def _mt64_pair_kernel_hb(
     out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
-def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, interpret=False):
+def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, gbits=6, interpret=False):
     """The B>12 paired pallas_call over n_groups row groups (the unit a
     shard_map shards: each device runs its slice of the groups)."""
     K, npad = taba.shape[0], taba.shape[1]
     kernel = functools.partial(
         _mt64_pair_kernel_hb, g_rows=g_rows, bits=bits, s4c_slice=s4c, n=n,
-        packed=packed, sym_lin=sym_lin,
+        packed=packed, sym_lin=sym_lin, gbits=gbits,
     )
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((K, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM)
@@ -1740,14 +1750,14 @@ def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_ch
     )(taba, tabb, stream, init, rw0)
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "n", "packed", "sym_lin", "interpret"))
-def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, interpret=False):
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "n", "packed", "sym_lin", "gbits", "interpret"))
+def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, gbits=6, interpret=False):
     """Paired decode for B=13..15 (no slicing: high-B buckets are few-row)."""
     npad = taba.shape[1]
     out, _states, _rw = _pairs_hb_call(
         taba, tabb, stream, init, jnp.zeros((npad, 128), jnp.int32),
         g_rows=g_rows, n_groups=n_groups, s4c=s4c, w_chunks=w_chunks,
-        bits=bits, n=n, packed=packed, sym_lin=sym_lin, interpret=interpret,
+        bits=bits, n=n, packed=packed, sym_lin=sym_lin, gbits=gbits, interpret=interpret,
     )
     return [(out, jnp.arange(npad, dtype=jnp.int32))]
 
@@ -1787,21 +1797,28 @@ def build_pair_arrays_hb(
             return None
         rts.append(make_rank_tables(hist))
     # packed-starts layout engages only when EVERY block in the bucket
-    # fits (<= 3 non-zero-position starts per 64-slot group); sym_lin only
-    # when every alphabet is contiguous.  HSRANS_NO_HBPACK forces the bm
-    # layout (safe-mode gate, same family as HSRANS_NO_PAIR).
+    # fits (<= 3 non-zero-position starts per 2^gbits-slot group); 128-slot
+    # groups tried first at B>=14 (pnc halves: 2 fewer gathers+selects per
+    # step); sym_lin only when every alphabet is contiguous.
+    # HSRANS_NO_HBPACK forces the bm layout; HSRANS_NO_HBPACK128 the
+    # 64-slot groups (safe-mode gates, same family as HSRANS_NO_PAIR).
     stacks = None
+    gbits = 6
     if _os.environ.get("HSRANS_NO_HBPACK") != "1":
-        stacks = []
-        for rt in rts:
-            s = _hb_tables_packed(rt, bits)
-            if s is None:
-                stacks = None  # one gate failure kills the layout; skip the rest
+        gb_try = [6] if bits < 14 or _os.environ.get("HSRANS_NO_HBPACK128") == "1" else [7, 6]
+        for gbits in gb_try:
+            stacks = []
+            for rt in rts:
+                s = _hb_tables_packed(rt, bits, gbits)
+                if s is None:
+                    stacks = None  # one gate failure kills the layout; skip the rest
+                    break
+                stacks.append(s)
+            if stacks is not None:
                 break
-            stacks.append(s)
     packed = stacks is not None
     sym_lin = packed and all(lin for _stk, lin in stacks)
-    nc, K = _hb_packed_layout(bits) if packed else _hb_layout(bits)
+    nc, K = _hb_packed_layout(bits, gbits) if packed else _hb_layout(bits)
     taba = np.zeros((K, npad, 128), np.int32)
     tabb = np.zeros((K, npad, 128), np.int32)
     init = np.full((npad, 128), DECODE_CONSUME_POINT_16, np.uint32)
@@ -1826,5 +1843,5 @@ def build_pair_arrays_hb(
         init[p, 64 * hi : 64 * hi + n] = b.states
 
     arrs = [taba, tabb, stream_cm.view(np.int32), init]
-    kw = dict(g_rows=g_rows, n_groups=n_grp, s4c=size0 // (4 * n), w_chunks=w_chunks, bits=bits, n=n, packed=packed, sym_lin=sym_lin)
+    kw = dict(g_rows=g_rows, n_groups=n_grp, s4c=size0 // (4 * n), w_chunks=w_chunks, bits=bits, n=n, packed=packed, sym_lin=sym_lin, gbits=gbits)
     return arrs, kw

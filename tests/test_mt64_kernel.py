@@ -451,3 +451,34 @@ def test_mt64_pair_hb_sym_lin(bits):
     assert built is not None and built[1]["sym_lin"], "sym_lin should engage"
     assert mt_decode(blob, bits, 64) == data.tobytes()
     assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (14, 15))
+def test_mt64_pair_hb_packed128_dense(bits):
+    """Dense 256-symbol blocks (x-ray-like) at B>=14 take the 128-slot-
+    group packed layout (gbits=7, pnc halved); starts at in-group position
+    127 are real there, which is why positions store p-1 under a strict->
+    compare (sentinel 127 stays unambiguous)."""
+    from hsrans_tpu.kernels.mt64_decode import (
+        block_index,
+        block_word_counts,
+        build_pair_arrays_hb,
+    )
+
+    rng = np.random.default_rng(59)
+    # skewed dense alphabet: every byte value present, zipf-weighted freqs
+    ranks = rng.zipf(1.1, 300_000)
+    data = ((ranks - 1) % 256).astype(np.uint8)
+    blob = _blob(data, 8192, bits=bits)
+    _, stream, blocks = block_index(blob, 64)
+    coded = [b for b in blocks if not b.is_single][:-1]
+    wc = block_word_counts(blocks, coded, stream)
+    nbp = len(coded) // 2 * 2
+    built = build_pair_arrays_hb(coded[:nbp], wc[:nbp], stream, bits)
+    assert built is not None
+    if built[1]["packed"] and bits == 15:
+        # at B15 starts spread ~128 slots apart: the 128-group gate holds
+        # (B14 may legitimately fall back to 64-groups on skewed data)
+        assert built[1]["gbits"] == 7, "128-slot groups should engage at B=15"
+    assert mt_decode(blob, bits, 64) == data.tobytes()
+    assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
