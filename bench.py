@@ -294,6 +294,13 @@ def _mt_bucket_slope(blob, bits, label, baseline):
         sizes.setdefault((b.size, small), []).append(i)
     (size0, small), idxs = max(sizes.items(), key=lambda kv: kv[0][0] * len(kv[1]))
     idxs = sorted(idxs, key=lambda i: w_all[i])
+    # order same-hist siblings into pairs exactly like the dispatcher so
+    # device_plan blobs measure the same_tab kernel (A-side tables only);
+    # prefer whichever part covers more of the bucket
+    if K._USE_PAIR_KERNEL and (bits > 12 or len(idxs) >= 2):
+        same, rest = K._order_same_hist(idxs, kb, w_all)
+        if len(same) >= len(rest):
+            idxs = same or idxs
     # pair whenever the dispatch would (build_pair_arrays handles >128-
     # symbol blocks via gather256 small_rank=False) — requiring `small` here
     # measured the HALF-OCCUPANCY single path on the x-ray corpus, whose

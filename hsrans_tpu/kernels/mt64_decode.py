@@ -87,6 +87,11 @@ _PAIR_TILE_BYTES = int(_os.environ.get("HSRANS_PAIR_TILE_MB", "24")) << 20
 # (HSRANS_NO_QUAD=1) until the compile is known-good on the installed stack.
 _USE_PAIR_KERNEL = _os.environ.get("HSRANS_NO_PAIR") != "1"
 _USE_QUAD_KERNEL = _os.environ.get("HSRANS_NO_QUAD") != "1"
+# same-table pairing: device_plan splits one oversized coded block into
+# sub-blocks that share ONE histogram (parallel/sharded.py), so pairing
+# same-hist blocks lets the kernel read only the A-side tables — each
+# merged table drops a gather(+select) from the issue-bound step
+_USE_SAMETAB = _os.environ.get("HSRANS_NO_SAMETAB") != "1"
 _PREFIX_MXU = True  # triangular-matmul prefix vs log-shift rolls (experiment)
 # fold the per-half totals into the prefix matmul as 128 extra all-ones
 # columns ([128,256] operand): kills two slice-broadcasts + a where per step
@@ -455,6 +460,31 @@ def block_word_counts(blocks: list, kernel_blocks: list, stream: np.ndarray, n: 
     return w_counts
 
 
+def _order_same_hist(idxs: list[int], kernel_blocks: list, w_all: list[int]) -> tuple[list[int], list[int]]:
+    """Order a size bucket so consecutive PAIRS share one histogram.
+
+    device_plan (parallel/sharded.py) splits an oversized coded block into
+    sub-blocks that all carry the parent's histogram; pairing those siblings
+    lets build_pair_arrays* detect same_tab and the kernel drop every B-side
+    table gather.  Returns (same, rest): `same` has even length and each
+    pair (same[2p], same[2p+1]) shares a freq table; `rest` holds the
+    leftovers (at most one odd block per histogram class), stream-length
+    ordered like the plain bucket path.
+    """
+    groups: dict[bytes, list[int]] = {}
+    for i in idxs:
+        groups.setdefault(kernel_blocks[i].freq.tobytes(), []).append(i)
+    if len(groups) == len(idxs):
+        return [], idxs  # all histograms distinct: keep the plain order
+    same: list[int] = []
+    rest: list[int] = []
+    for v in groups.values():  # members keep idxs' stream-length order
+        m = len(v) // 2 * 2
+        same += v[:m]
+        rest += v[m:]
+    return same, sorted(rest, key=lambda i: w_all[i])
+
+
 def mt64_decode_tpu(
     blob: bytes | np.ndarray,
     bits: int,
@@ -516,29 +546,35 @@ def mt64_decode_tpu(
         idxs = sorted(idxs, key=lambda i: w_all[i])
         blk = [kernel_blocks[i] for i in idxs]
         wc = [w_all[i] for i in idxs]
-        if _USE_PAIR_KERNEL and n == 64 and len(idxs) >= 2:
-            # two blocks per 128-lane row (the step is latency-bound on its
-            # gather chain; sharing window/pack/matmul across a pair cuts
-            # gathers per byte ~1.4x); odd leftover joins the single path
-            nbp = len(idxs) // 2 * 2
-            rows2 = decode_bucket_paired(blk[:nbp], wc[:nbp], stream, bits, interpret, mesh, axis)
-            if rows2 is not None:
-                for j in range(nbp):
-                    decoded[idxs[j]] = rows2[j]
-                blk, wc, idxs = blk[nbp:], wc[nbp:], idxs[nbp:]
-                if not idxs:
+        if _USE_PAIR_KERNEL and (n == 64 or bits > 12) and len(idxs) >= 2:
+            # two blocks per 128-lane row (n=64 at any B; n=32 one block per
+            # 64-lane half of the flat-rank kernel — the step is issue-bound
+            # on its gather chain; sharing window/pack/matmul across a pair
+            # cuts gathers per byte ~1.4x).  Same-hist blocks pair FIRST:
+            # device_plan siblings share one table, so their bucket runs the
+            # same_tab kernel (A-side tables only); mixed leftovers pair
+            # after; odd leftover joins the single path.
+            leftover: list[int] = []
+            parts = _order_same_hist(idxs, kernel_blocks, w_all) if _USE_SAMETAB else ([], idxs)
+            for part in parts:
+                if len(part) < 2:
+                    leftover += part
                     continue
-        if _USE_PAIR_KERNEL and n == 32 and bits > 12 and len(idxs) >= 2:
-            # one x32 block per 64-lane half of the flat-rank pair kernel
-            # (2x the masked single path's occupancy)
-            nbp = len(idxs) // 2 * 2
-            rows2 = decode_bucket_paired(blk[:nbp], wc[:nbp], stream, bits, interpret, mesh, axis, n)
-            if rows2 is not None:
-                for j in range(nbp):
-                    decoded[idxs[j]] = rows2[j]
-                blk, wc, idxs = blk[nbp:], wc[nbp:], idxs[nbp:]
-                if not idxs:
+                nbp = len(part) // 2 * 2
+                pblk = [kernel_blocks[i] for i in part[:nbp]]
+                pwc = [w_all[i] for i in part[:nbp]]
+                rows2 = decode_bucket_paired(pblk, pwc, stream, bits, interpret, mesh, axis, n)
+                if rows2 is None:
+                    leftover += part
                     continue
+                for j in range(nbp):
+                    decoded[part[j]] = rows2[j]
+                leftover += part[nbp:]
+            idxs = sorted(leftover, key=lambda i: w_all[i])
+            blk = [kernel_blocks[i] for i in idxs]
+            wc = [w_all[i] for i in idxs]
+            if not idxs:
+                continue
         if _USE_PAIR_KERNEL and _USE_QUAD_KERNEL and n == 32 and bits <= 12 and len(idxs) >= 4:
             # four n=32 blocks per 128-lane row (kernels/mt32_quad.py):
             # 4x the row occupancy of the masked single path; leftover
@@ -665,6 +701,7 @@ def _mt64_pair_kernel(
     small_rank: bool,
     s4c_slice: int,
     rank64: bool = False,
+    same_tab: bool = False,
 ):
     s4 = pl.program_id(1)
 
@@ -749,7 +786,14 @@ def _mt64_pair_kernel(
         states, rw, acc = carry
         slot = states & mask_slot
         k = pltpu.bitcast(slot, jnp.int32) >> 5
-        if merged_cb:
+        if same_tab:
+            # both halves decode the SAME histogram (device_plan siblings):
+            # the A-side tables serve all 128 lanes — no B gathers, no
+            # where(is_b) on any table read (up to 3 gathers + 2 selects
+            # off the issue-bound step at B=12 dense alphabets)
+            c0v = jnp.take_along_axis(c0a, k, axis=1)
+            bmv = jnp.take_along_axis(bma, pltpu.bitcast(k, jnp.uint32), axis=1)
+        elif merged_cb:
             kk = k | hi64
             c0v = jnp.take_along_axis(c0a, kk, axis=1)
             bmv = jnp.take_along_axis(bma, pltpu.bitcast(kk, jnp.uint32), axis=1)
@@ -759,7 +803,11 @@ def _mt64_pair_kernel(
             bmv = jnp.where(is_b, jnp.take_along_axis(bmb, ku, axis=1), jnp.take_along_axis(bma, ku, axis=1))
         m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
         rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
-        if rank64:
+        if same_tab and small_rank:
+            v1 = pltpu.bitcast(jnp.take_along_axis(tpa, rank, axis=1), jnp.uint32)
+        elif same_tab:
+            v1 = pltpu.bitcast(gather256(tpa, tpa_hi, rank), jnp.uint32)
+        elif rank64:
             v1 = pltpu.bitcast(jnp.take_along_axis(tpa, rank | hi64, axis=1), jnp.uint32)
         elif small_rank:
             v1a = jnp.take_along_axis(tpa, rank, axis=1)
@@ -853,13 +901,13 @@ def _tri_pair_operand():
     return _TRI_PAIR
 
 
-def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw, *, g_rows, n_groups, s4c_slice, w_chunks, bits, small_rank, interpret, rank64=False):
+def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw, *, g_rows, n_groups, s4c_slice, w_chunks, bits, small_rank, interpret, rank64=False, same_tab=False):
     """One time slice of the paired decode: s4c_slice invocations per group,
     states/cursors in and out (so the driver can regroup rows between
     slices)."""
     kernel = functools.partial(
         _mt64_pair_kernel, g_rows=g_rows, bits=bits, small_rank=small_rank,
-        s4c_slice=s4c_slice, rank64=rank64,
+        s4c_slice=s4c_slice, rank64=rank64, same_tab=same_tab,
     )
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
     npad = n_groups * g_rows
@@ -900,8 +948,8 @@ def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, stat
 _SLICE_S4 = int(_os.environ.get("HSRANS_SLICE_S4", "1000000"))
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret", "rank64"))
-def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False, rank64=False):
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret", "rank64", "same_tab"))
+def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False, rank64=False, same_tab=False):
     """Time-sliced paired decode with cursor regrouping.
 
     Rows of one bucket drift apart in stream position as they decode
@@ -919,7 +967,7 @@ def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *,
     perm = jnp.arange(npad, dtype=jnp.int32)
     n_slices = -(-s4c // _SLICE_S4)
     outs = []
-    kw = dict(g_rows=g_rows, n_groups=n_groups, w_chunks=w_chunks, bits=bits, small_rank=small_rank, interpret=interpret, rank64=rank64)
+    kw = dict(g_rows=g_rows, n_groups=n_groups, w_chunks=w_chunks, bits=bits, small_rank=small_rank, interpret=interpret, rank64=rank64, same_tab=same_tab)
     for t in range(n_slices):
         if t > 0 and n_slices > 1 and npad > g_rows:
             order = jnp.argsort(rw[:, 0])
@@ -987,6 +1035,12 @@ def build_pair_arrays(
     # Each merge halves that table's gathers per step (see _mt64_pair_kernel).
     merged_cb = bits <= 11
     rank64 = all(int(np.count_nonzero(b.freq)) <= 64 for b in kernel_blocks[:nbp])
+    # every pair shares one histogram (device_plan siblings, paired by the
+    # caller's same-hist ordering) -> the kernel reads only A-side tables
+    same_tab = _USE_SAMETAB and all(
+        np.array_equal(kernel_blocks[2 * p].freq, kernel_blocks[2 * p + 1].freq)
+        for p in range(pairs)
+    )
     for i in range(nbp):
         b = kernel_blocks[i]
         hist = complete_hist(b.freq, bits)
@@ -1015,6 +1069,7 @@ def build_pair_arrays(
     kw = dict(
         g_rows=g_rows, n_groups=npad // g_rows // n_dev, s4c=size0 // 256,
         w_chunks=w_chunks, bits=bits, small_rank=small_rank, rank64=rank64,
+        same_tab=same_tab,
     )
     return arrs, kw
 
@@ -1054,7 +1109,7 @@ def decode_bucket_paired(
                 g_rows=kw["g_rows"], n_groups=kw["n_groups"] // n_dev_hb,
                 s4c=kw["s4c"], w_chunks=kw["w_chunks"], bits=bits, n=n,
                 packed=kw["packed"], sym_lin=kw["sym_lin"], gbits=kw["gbits"],
-                interpret=interpret,
+                same_tab=kw["same_tab"], interpret=interpret,
             )
             fn = jax.shard_map(
                 lambda *a: _pairs_hb_call(*a, **kwc)[0],
@@ -1099,7 +1154,7 @@ def decode_bucket_paired(
         kwc = dict(
             g_rows=kw["g_rows"], n_groups=kw["n_groups"], s4c_slice=kw["s4c"],
             w_chunks=kw["w_chunks"], bits=bits, small_rank=kw["small_rank"],
-            rank64=kw["rank64"], interpret=interpret,
+            rank64=kw["rank64"], same_tab=kw["same_tab"], interpret=interpret,
         )
         fn = jax.shard_map(
             lambda *a: _pairs_slice_call(*a, **kwc)[0],
@@ -1484,6 +1539,7 @@ def _mt64_pair_kernel_hb(
     packed: bool = False,
     sym_lin: bool = False,
     gbits: int = 6,
+    same_tab: bool = False,
 ):
     s4 = pl.program_id(1)
 
@@ -1577,21 +1633,30 @@ def _mt64_pair_kernel_hb(
             # passes the gate at 128-slot groups, measured).
             kg = pltpu.bitcast(slot, jnp.int32) >> gbits
             if pnc == 1:
-                pv = jnp.where(
-                    is_b,
-                    jnp.take_along_axis(pkb[0], kg, axis=1),
-                    jnp.take_along_axis(pka[0], kg, axis=1),
-                )
+                # same_tab: both halves share one histogram (device_plan
+                # siblings) — A-side tables serve all 128 lanes, dropping
+                # the B gathers and every where(is_b) on table reads
+                if same_tab:
+                    pv = jnp.take_along_axis(pka[0], kg, axis=1)
+                else:
+                    pv = jnp.where(
+                        is_b,
+                        jnp.take_along_axis(pkb[0], kg, axis=1),
+                        jnp.take_along_axis(pka[0], kg, axis=1),
+                    )
             else:
                 kwi = kg & 127
                 kc = kg >> 7
                 pv = jnp.zeros((g_rows, L), jnp.int32)
                 for c in range(pnc):
-                    pc = jnp.where(
-                        is_b,
-                        jnp.take_along_axis(pkb[c], kwi, axis=1),
-                        jnp.take_along_axis(pka[c], kwi, axis=1),
-                    )
+                    if same_tab:
+                        pc = jnp.take_along_axis(pka[c], kwi, axis=1)
+                    else:
+                        pc = jnp.where(
+                            is_b,
+                            jnp.take_along_axis(pkb[c], kwi, axis=1),
+                            jnp.take_along_axis(pka[c], kwi, axis=1),
+                        )
                     pv = jnp.where(kc == c, pc, pv)
             pvu = pltpu.bitcast(pv, jnp.uint32)
             s_in = slot & jnp.uint32((1 << gbits) - 1)
@@ -1604,10 +1669,13 @@ def _mt64_pair_kernel_hb(
             )
         else:
             j = k6 >> 2
-            cpv = pltpu.bitcast(
-                jnp.where(is_b, jnp.take_along_axis(cpb, j, axis=1), jnp.take_along_axis(cpa, j, axis=1)),
-                jnp.uint32,
-            )
+            if same_tab:
+                cpv = pltpu.bitcast(jnp.take_along_axis(cpa, j, axis=1), jnp.uint32)
+            else:
+                cpv = pltpu.bitcast(
+                    jnp.where(is_b, jnp.take_along_axis(cpb, j, axis=1), jnp.take_along_axis(cpa, j, axis=1)),
+                    jnp.uint32,
+                )
             sub = k6 & 3
             base = cpv & jnp.uint32(0x1FF)
             d = jnp.where(
@@ -1624,16 +1692,24 @@ def _mt64_pair_kernel_hb(
             kw = k6 & 127
             kwu = pltpu.bitcast(kw, jnp.uint32)
             if nc == 1:
-                lov = jnp.where(is_b, jnp.take_along_axis(bmlob[0], kwu, axis=1), jnp.take_along_axis(bmloa[0], kwu, axis=1))
-                hiv = jnp.where(is_b, jnp.take_along_axis(bmhib[0], kwu, axis=1), jnp.take_along_axis(bmhia[0], kwu, axis=1))
+                if same_tab:
+                    lov = jnp.take_along_axis(bmloa[0], kwu, axis=1)
+                    hiv = jnp.take_along_axis(bmhia[0], kwu, axis=1)
+                else:
+                    lov = jnp.where(is_b, jnp.take_along_axis(bmlob[0], kwu, axis=1), jnp.take_along_axis(bmloa[0], kwu, axis=1))
+                    hiv = jnp.where(is_b, jnp.take_along_axis(bmhib[0], kwu, axis=1), jnp.take_along_axis(bmhia[0], kwu, axis=1))
             else:
                 kc = k6 >> 7
                 lov = jnp.zeros((g_rows, L), jnp.uint32)
                 hiv = jnp.zeros((g_rows, L), jnp.uint32)
                 for c in range(nc):
                     sel = kc == c
-                    lo_c = jnp.where(is_b, jnp.take_along_axis(bmlob[c], kwu, axis=1), jnp.take_along_axis(bmloa[c], kwu, axis=1))
-                    hi_c = jnp.where(is_b, jnp.take_along_axis(bmhib[c], kwu, axis=1), jnp.take_along_axis(bmhia[c], kwu, axis=1))
+                    if same_tab:
+                        lo_c = jnp.take_along_axis(bmloa[c], kwu, axis=1)
+                        hi_c = jnp.take_along_axis(bmhia[c], kwu, axis=1)
+                    else:
+                        lo_c = jnp.where(is_b, jnp.take_along_axis(bmlob[c], kwu, axis=1), jnp.take_along_axis(bmloa[c], kwu, axis=1))
+                        hi_c = jnp.where(is_b, jnp.take_along_axis(bmhib[c], kwu, axis=1), jnp.take_along_axis(bmhia[c], kwu, axis=1))
                     lov = jnp.where(sel, lo_c, lov)
                     hiv = jnp.where(sel, hi_c, hiv)
             s6 = slot & jnp.uint32(63)
@@ -1644,22 +1720,28 @@ def _mt64_pair_kernel_hb(
                 jax.lax.population_count(lov & mlo) + jax.lax.population_count(hiv & mhi), jnp.int32
             )
 
-        fcv = pltpu.bitcast(
-            jnp.where(is_b, gather256(fcb_lo, fcb_hi, rank), gather256(fca_lo, fca_hi, rank)),
-            jnp.uint32,
-        )
+        if same_tab:
+            fcv = pltpu.bitcast(gather256(fca_lo, fca_hi, rank), jnp.uint32)
+        else:
+            fcv = pltpu.bitcast(
+                jnp.where(is_b, gather256(fcb_lo, fcb_hi, rank), gather256(fca_lo, fca_hi, rank)),
+                jnp.uint32,
+            )
         freq = fcv & jnp.uint32(0xFFFF)
         cum = fcv >> jnp.uint32(16)
         if sym_lin:
             # contiguous alphabet: sym = rank + per-half first symbol (the
             # sp row holds the broadcast first_sym) — no sp4 gather at all
-            sym = rank + jnp.where(is_b, spb, spa)
+            sym = rank + (spa if same_tab else jnp.where(is_b, spb, spa))
         else:
             r4 = rank >> 2
-            s4v = pltpu.bitcast(
-                jnp.where(is_b, jnp.take_along_axis(spb, r4, axis=1), jnp.take_along_axis(spa, r4, axis=1)),
-                jnp.uint32,
-            )
+            if same_tab:
+                s4v = pltpu.bitcast(jnp.take_along_axis(spa, r4, axis=1), jnp.uint32)
+            else:
+                s4v = pltpu.bitcast(
+                    jnp.where(is_b, jnp.take_along_axis(spb, r4, axis=1), jnp.take_along_axis(spa, r4, axis=1)),
+                    jnp.uint32,
+                )
             sym = pltpu.bitcast((s4v >> pltpu.bitcast((rank & 3) << 3, jnp.uint32)) & jnp.uint32(0xFF), jnp.int32)
 
         new_states = (states >> jnp.uint32(bits)) * freq + slot - cum
@@ -1712,13 +1794,13 @@ def _mt64_pair_kernel_hb(
     out_ref[:] = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 
-def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, gbits=6, interpret=False):
+def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, gbits=6, same_tab=False, interpret=False):
     """The B>12 paired pallas_call over n_groups row groups (the unit a
     shard_map shards: each device runs its slice of the groups)."""
     K, npad = taba.shape[0], taba.shape[1]
     kernel = functools.partial(
         _mt64_pair_kernel_hb, g_rows=g_rows, bits=bits, s4c_slice=s4c, n=n,
-        packed=packed, sym_lin=sym_lin, gbits=gbits,
+        packed=packed, sym_lin=sym_lin, gbits=gbits, same_tab=same_tab,
     )
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((K, g_rows, 128), lambda g, s4: (0, g, 0), memory_space=pltpu.VMEM)
@@ -1750,14 +1832,15 @@ def _pairs_hb_call(taba, tabb, stream, init, rw0, *, g_rows, n_groups, s4c, w_ch
     )(taba, tabb, stream, init, rw0)
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "n", "packed", "sym_lin", "gbits", "interpret"))
-def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, gbits=6, interpret=False):
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "n", "packed", "sym_lin", "gbits", "same_tab", "interpret"))
+def _decode_pairs_hb(taba, tabb, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, n=N, packed=False, sym_lin=False, gbits=6, same_tab=False, interpret=False):
     """Paired decode for B=13..15 (no slicing: high-B buckets are few-row)."""
     npad = taba.shape[1]
     out, _states, _rw = _pairs_hb_call(
         taba, tabb, stream, init, jnp.zeros((npad, 128), jnp.int32),
         g_rows=g_rows, n_groups=n_groups, s4c=s4c, w_chunks=w_chunks,
-        bits=bits, n=n, packed=packed, sym_lin=sym_lin, gbits=gbits, interpret=interpret,
+        bits=bits, n=n, packed=packed, sym_lin=sym_lin, gbits=gbits,
+        same_tab=same_tab, interpret=interpret,
     )
     return [(out, jnp.arange(npad, dtype=jnp.int32))]
 
@@ -1796,6 +1879,12 @@ def build_pair_arrays_hb(
         if hist is None:
             return None
         rts.append(make_rank_tables(hist))
+    # every pair shares one histogram (device_plan siblings, paired by the
+    # caller's same-hist ordering) -> the kernel reads only A-side tables
+    same_tab = _USE_SAMETAB and all(
+        np.array_equal(kernel_blocks[2 * p].freq, kernel_blocks[2 * p + 1].freq)
+        for p in range(pairs)
+    )
     # packed-starts layout engages only when EVERY block in the bucket
     # fits (<= 3 non-zero-position starts per 2^gbits-slot group); 128-slot
     # groups tried first at B>=14 (pnc halves: 2 fewer gathers+selects per
@@ -1843,5 +1932,5 @@ def build_pair_arrays_hb(
         init[p, 64 * hi : 64 * hi + n] = b.states
 
     arrs = [taba, tabb, stream_cm.view(np.int32), init]
-    kw = dict(g_rows=g_rows, n_groups=n_grp, s4c=size0 // (4 * n), w_chunks=w_chunks, bits=bits, n=n, packed=packed, sym_lin=sym_lin, gbits=gbits)
+    kw = dict(g_rows=g_rows, n_groups=n_grp, s4c=size0 // (4 * n), w_chunks=w_chunks, bits=bits, n=n, packed=packed, sym_lin=sym_lin, gbits=gbits, same_tab=same_tab)
     return arrs, kw

@@ -266,9 +266,15 @@ def device_plan(
     x-ray corpus plans into 224 mixed-size blocks that decode at 5.8 GiB/s
     vs 14.4 at uniform 16 KiB).  This keeps the planner's content cuts and
     free RLE single-symbol rows but splits oversized CODED blocks into
-    512-aligned pieces, recomputing per-piece histograms (splitting only
-    ever sharpens them).  Any segmentation is wire-format-valid; the blob
-    stays decodable by the reference.
+    512-aligned pieces.  Consecutive piece PAIRS share one histogram
+    computed over their joint span: the pair kernels decode two blocks per
+    128-lane row anyway, so hist granularity = pairing granularity gives
+    same_tab (the decoder reads only A-side tables, dropping up to 4
+    gathers + 3 selects from the issue-bound step) while keeping tables
+    nearly as sharp as per-piece ones (measured on x-ray B10: pair-hist
+    ratio 0.8014 vs 0.8097 parent-hist vs 0.8023 reference).  Any
+    segmentation is wire-format-valid; the blob stays decodable by the
+    reference.
     """
     from ..ops.planner import plan_blocks
     from ..ops.tpx import make_tile_hist
@@ -286,9 +292,11 @@ def device_plan(
             continue
         starts = [r.start + i * base for i in range(n_pieces)]
         ends = starts[1:] + [r.start + r.size]
-        for s, e in zip(starts, ends):
-            freq = make_tile_hist(data[s:e], bits).symbol_count
-            out.append(BlockPlan(s, e - s, False, 0, freq))
+        for p in range(0, n_pieces, 2):
+            s0, e_last = starts[p], ends[min(p + 1, n_pieces - 1)]
+            freq = make_tile_hist(data[s0:e_last], bits).symbol_count
+            for s, e in zip(starts[p : p + 2], ends[p : p + 2]):
+                out.append(BlockPlan(s, e - s, False, 0, freq))
     return out
 
 

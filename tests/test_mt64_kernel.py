@@ -482,3 +482,32 @@ def test_mt64_pair_hb_packed128_dense(bits):
         assert built[1]["gbits"] == 7, "128-slot groups should engage at B=15"
     assert mt_decode(blob, bits, 64) == data.tobytes()
     assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (10, 12, 13, 15))
+def test_mt64_kernel_device_plan_same_tab(bits, monkeypatch):
+    """device_plan splits one oversized coded block into sub-blocks that all
+    carry the parent's histogram; _order_same_hist pairs those siblings so
+    the pair builders detect same_tab (the kernel then reads only A-side
+    tables).  Assert the flag actually engages AND the decode is exact."""
+    from hsrans_tpu.kernels import mt64_decode as m
+    from hsrans_tpu.parallel.sharded import device_plan
+
+    rng = np.random.default_rng(23)
+    # homogeneous dense data: the greedy plan coalesces it into few parents,
+    # so the 16 KiB device cap produces many same-hist siblings per bucket
+    data = rng.normal(128, 30, 200_000).clip(0, 255).astype(np.uint8)
+    blob = mt_encode(data, bits, 64, plan=device_plan(data, bits, 64, 16 << 10))
+    name = "build_pair_arrays" if bits <= 12 else "build_pair_arrays_hb"
+    orig = getattr(m, name)
+    seen = []
+
+    def spy(*a, **k):
+        built = orig(*a, **k)
+        if built is not None:
+            seen.append(built[1]["same_tab"])
+        return built
+
+    monkeypatch.setattr(m, name, spy)
+    assert m.mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
+    assert any(seen), "no same_tab pair bucket engaged on a device_plan blob"
