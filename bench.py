@@ -388,24 +388,35 @@ def bench_mt_xray():
         _mt_bucket_slope(blob, bits, f"mt_xray_decode_B{bits}", BASELINE_MT_XRAY[bits])
 
 
-def bench_mt_device_plan(corpus_big):
+def bench_mt_device_plan_depth(bits):
     """mt decode on device_plan blobs — the TPU-first segmentation (greedy
     content cuts + RLE rows, coded blocks capped so the batched kernel gets
     >= 256 chains; parallel/sharded.py device_plan).  Wire-format-valid and
     reference-decodable; ratios recorded next to each speed row so the
-    trade stays visible.  Caps per depth from the r4 on-device sweep
-    (16 KiB at B10/B12, 32 KiB at B15 — high-B headers amortize slower)."""
+    trade stays visible.  ONE depth per bench step: the high-B pair
+    kernels compile slowly on a cold process (~10 min observed for a new
+    hb specialization), and a single per-step watchdog must not take every
+    depth's row down with it.  Caps per depth from the r5 on-device sweep
+    with pair-hist + same_tab (tools/sweep_dp.py): larger caps amortize
+    headers AND sharpen ratio at B12/B14 (48 KiB pair-hist windows still
+    beat the reference's giant-span hists), while B10/B13 prefer the
+    chain-richer 16 KiB."""
     from hsrans_tpu.ops.mt import mt_encode
     from hsrans_tpu.parallel.sharded import device_plan
 
     xr = np.fromfile(os.path.join(REPO, "tests", "corpus", "xray.bin"), np.uint8)
     xr_big = np.tile(xr, max(1, SIZE_MB // 8))
-    caps = {12: 16 << 10, 10: 16 << 10, 15: 24 << 10, 13: 16 << 10, 14: 24 << 10}
+    caps = {12: 24 << 10, 10: 16 << 10, 15: 32 << 10, 13: 16 << 10, 14: 24 << 10}
     caps.update(_DP_CAPS)
-    for bits in (12, 10, 15, 13, 14):
-        blob = mt_encode(xr_big, bits, 64, plan=device_plan(xr_big, bits, 64, caps[bits]))
-        record(f"ratio_mt_dp_xray_B{bits}", len(blob) / xr_big.size, "ratio")
-        _mt_bucket_slope(blob, bits, f"mt_dp_xray_decode_B{bits}", BASELINE_MT_XRAY[bits])
+    blob = mt_encode(xr_big, bits, 64, plan=device_plan(xr_big, bits, 64, caps[bits]))
+    record(f"ratio_mt_dp_xray_B{bits}", len(blob) / xr_big.size, "ratio")
+    _mt_bucket_slope(blob, bits, f"mt_dp_xray_decode_B{bits}", BASELINE_MT_XRAY[bits])
+
+
+def bench_mt_device_plan_corpus(corpus_big):
+    from hsrans_tpu.ops.mt import mt_encode
+    from hsrans_tpu.parallel.sharded import device_plan
+
     blob = mt_encode(corpus_big, BITS, 64, plan=device_plan(corpus_big, BITS, 64, 16 << 10))
     record("ratio_mt_dp_corpus", len(blob) / corpus_big.size, "ratio")
     _mt_bucket_slope(blob, BITS, "mt_dp_decode_B12", BASELINE_MT)
@@ -753,7 +764,14 @@ def main() -> None:
     # run right after the headline
     steps = [
         headline_step,
-        lambda: bench_mt_device_plan(corpus_big),
+        # one depth per step: a slow cold-process kernel compile must cost
+        # at most its own row (per-step watchdog)
+        lambda: bench_mt_device_plan_depth(12),
+        lambda: bench_mt_device_plan_depth(10),
+        lambda: bench_mt_device_plan_depth(15),
+        lambda: bench_mt_device_plan_depth(13),
+        lambda: bench_mt_device_plan_depth(14),
+        lambda: bench_mt_device_plan_corpus(corpus_big),
         bench_mt_xray,
         lambda: bench_mt32_quad(corpus_big[: 32 << 20]),
         lambda: bench_mt(corpus_big),

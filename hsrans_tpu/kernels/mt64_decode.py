@@ -1888,13 +1888,16 @@ def build_pair_arrays_hb(
     # packed-starts layout engages only when EVERY block in the bucket
     # fits (<= 3 non-zero-position starts per 2^gbits-slot group); 128-slot
     # groups tried first at B>=14 (pnc halves: 2 fewer gathers+selects per
-    # step); sym_lin only when every alphabet is contiguous.
+    # step); 32-slot groups last (pnc doubles, but even pnc=2 packed beats
+    # the bm fallback by a gather — B13 dense alphabets fail the 64-slot
+    # gate at ~2 starts/group average); sym_lin only when every alphabet
+    # is contiguous.
     # HSRANS_NO_HBPACK forces the bm layout; HSRANS_NO_HBPACK128 the
     # 64-slot groups (safe-mode gates, same family as HSRANS_NO_PAIR).
     stacks = None
     gbits = 6
     if _os.environ.get("HSRANS_NO_HBPACK") != "1":
-        gb_try = [6] if bits < 14 or _os.environ.get("HSRANS_NO_HBPACK128") == "1" else [7, 6]
+        gb_try = [6, 5] if bits < 14 or _os.environ.get("HSRANS_NO_HBPACK128") == "1" else [7, 6, 5]
         for gbits in gb_try:
             stacks = []
             for rt in rts:

@@ -511,3 +511,30 @@ def test_mt64_kernel_device_plan_same_tab(bits, monkeypatch):
     monkeypatch.setattr(m, name, spy)
     assert m.mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
     assert any(seen), "no same_tab pair bucket engaged on a device_plan blob"
+
+
+def test_mt64_pair_hb_packed32_dense_b13():
+    """Dense 256-symbol alphabets at B=13 fail the 64-slot gate (~2 starts
+    per group average puts some group above 3) but pass 32-slot groups:
+    the gbits=5 cascade step (pnc=2) must engage and roundtrip — the bm
+    fallback costs one more gather per step (KERNEL_NOTES gather rule)."""
+    from hsrans_tpu.kernels.mt64_decode import (
+        block_index,
+        block_word_counts,
+        build_pair_arrays_hb,
+    )
+
+    rng = np.random.default_rng(61)
+    ranks = rng.zipf(1.1, 300_000)
+    data = ((ranks - 1) % 256).astype(np.uint8)
+    blob = _blob(data, 8192, bits=13)
+    _, stream, blocks = block_index(blob, 64)
+    coded = [b for b in blocks if not b.is_single][:-1]
+    wc = block_word_counts(blocks, coded, stream)
+    nbp = len(coded) // 2 * 2
+    built = build_pair_arrays_hb(coded[:nbp], wc[:nbp], stream, 13)
+    assert built is not None
+    assert built[1]["packed"], "32-slot packed groups should engage at B=13"
+    assert built[1]["gbits"] == 5
+    assert mt_decode(blob, 13, 64) == data.tobytes()
+    assert mt64_decode_tpu(blob, 13, interpret=True) == data.tobytes()
