@@ -47,12 +47,23 @@ DETAIL_PATH = os.path.join(REPO, "BENCH_DETAIL.json")
 # contention collapsed t_hi - t_lo; honest rows top out ~19,000
 ROOFLINE_MIBS = float(os.environ.get("HSRANS_BENCH_ROOFLINE_MIBS", "30000"))
 
-# persistent executable cache (helps CPU/interpret smoke runs; measured
-# ineffective over the axon tunnel — compiles happen on the remote worker
-# and a fresh process pays ~2-4 min before its first kernel result, so the
-# step budget below must absorb first-compile for every kernel)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# persistent executable cache.  The env-var route NEVER worked here —
+# /root/.axon_site/sitecustomize.py preloads jax at interpreter start, so
+# JAX_COMPILATION_CACHE_DIR set at bench-import time was read too late and
+# jax_compilation_cache_dir stayed None (why .jax_cache never appeared
+# through round 4, and every fresh process paid full Mosaic compiles).
+# jax is already in sys.modules (the site hook), so config.update is free;
+# verified on axon: warm-cache pallas first-call 0.75 s vs 1.62 cold.
+try:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # noqa: BLE001 — cache is an optimization, never a blocker
+    pass
 
 METRICS: list[dict] = []
 _CARRIED: list[dict] = []
