@@ -38,6 +38,26 @@ class Capabilities:
         return self.tier != "tpu"
 
 
+def _enable_compile_cache(jax_mod) -> None:
+    """Persistent executable cache (.jax_cache under HSRANS_CACHE_DIR or
+    cwd).  Must go through config.update: this image's site hook
+    (/root/.axon_site/sitecustomize.py) preloads jax before any package
+    code runs, so JAX_COMPILATION_CACHE_DIR via os.environ is read too
+    late and silently ignored.  A fresh process otherwise repays every
+    Mosaic kernel compile (~10 min for a cold hb pair specialization)."""
+    if os.environ.get("HSRANS_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.environ.get("HSRANS_CACHE_DIR", os.getcwd()), ".jax_cache"
+        )
+        if not jax_mod.config.jax_compilation_cache_dir:
+            jax_mod.config.update("jax_compilation_cache_dir", path)
+            jax_mod.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 — the cache is never worth failing over
+        pass
+
+
 def _probe_backend(timeout_s: float) -> tuple[str, str, int] | None:
     """jax.devices() in an abandonable daemon thread.
 
@@ -54,6 +74,7 @@ def _probe_backend(timeout_s: float) -> tuple[str, str, int] | None:
         try:
             import jax
 
+            _enable_compile_cache(jax)
             devs = jax.devices()
             out.append((devs[0].platform, devs[0].device_kind, len(devs)))
         except Exception:
