@@ -673,10 +673,15 @@ def bench_ref_pairs():
     # 458-vs-1594 anomaly)
     rows = merge_into_file(rows, corpus_path, rounds=3)
     for r in rows:
-        if r["bits"] != 12 or not r.get("ref_mib_s"):
+        if r["bits"] != 12 or not r.get("ref_mib_s") or not r.get("vs_ref"):
             continue
         name = f"{r['family']}_B{r['bits']}_{r['op']}"
-        record(f"{name}_same_core", r["ours_mib_s"], "MiB/s", r["ref_mib_s"])
+        # baseline chosen so vs_baseline == the PAIRED vs_ref (median of
+        # same-window round ratios) rather than a cross-epoch best-sides
+        # quotient; ours_mib_s stays the confirmed-best capability rate
+        record(f"{name}_same_core", r["ours_mib_s"], "MiB/s",
+               r["ours_mib_s"] / r["vs_ref"],
+               vs_ref_rounds=r.get("vs_ref_rounds"))
 
 
 def bench_native(corpus):

@@ -209,13 +209,28 @@ def _merge_rounds(per_round: list[dict]) -> dict:
     return merged
 
 
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def head_to_head(corpus_path: Path, bits_list=(10, 12, 15), families="raw block mt 32blk",
                  runs=2, rounds=3) -> list[dict]:
     """A/B-interleaved pairing: each of `rounds` rounds measures ours then
     the reference (all families, same B), so a noisy scheduling window hits
     both sides of a pair, not one.  Per-side value = best over rounds;
     per-side spread across rounds is recorded and rows with > 20% movement
-    on either side are flagged `noisy`."""
+    on either side are flagged `noisy`.
+
+    `vs_ref` is the MEDIAN of the per-ROUND paired ratios (ours_i / ref_i):
+    box-speed drift on this shared one-core host moves both sides of a
+    round together, so the paired ratio is stable where the absolute rates
+    are not.  Mixing per-SIDE bests from different box-speed epochs (the
+    old semantics, kept as `vs_ref_sides`) can contradict every individual
+    paired capture — observed on block_x32 B12 decode: every fresh A/B
+    after the dec_pack fill fix measured 1.05-1.11x, while best-sides said
+    0.93x because the reference's best came from a faster epoch."""
     exe = build_reference()
     corpus = np.fromfile(corpus_path, np.uint8)
     rows: list[dict] = []
@@ -228,6 +243,10 @@ def head_to_head(corpus_path: Path, bits_list=(10, 12, 15), families="raw block 
                 ref_rounds.append(run_reference(exe, corpus_path, bits, runs))
         ours = _merge_rounds(ours_rounds)
         ref = _merge_rounds(ref_rounds)
+        def _round_val(rd: dict, fam: str, op: str):
+            v = rd.get(fam, {}).get(op)
+            return v[0] if isinstance(v, tuple) else v
+
         for fam, o in sorted(ours.items()):
             r = ref.get(REF_NAME[fam], {})
             for op in ("encode", "decode", "decode_mt"):
@@ -235,13 +254,22 @@ def head_to_head(corpus_path: Path, bits_list=(10, 12, 15), families="raw block 
                     continue
                 ov, ospread, oratio = o[op]
                 rv, rspread, rratio = r.get(op, (None, None, None))
+                paired = []
+                for our_rd, ref_rd in zip(ours_rounds, ref_rounds):
+                    a = _round_val(our_rd, fam, op)
+                    b = _round_val(ref_rd, REF_NAME[fam], op)
+                    if a and b:
+                        paired.append(a / b)
                 row = {
                     "family": fam,
                     "bits": bits,
                     "op": op,
                     "ours_mib_s": round(ov, 1),
                     "ref_mib_s": round(rv, 1) if rv else None,
-                    "vs_ref": round(ov / rv, 3) if rv else None,
+                    "vs_ref": round(_median(paired), 3) if paired
+                              else (round(ov / rv, 3) if rv else None),
+                    "vs_ref_rounds": [round(x, 3) for x in paired] or None,
+                    "vs_ref_sides": round(ov / rv, 3) if rv else None,
                     "ours_spread": round(ospread, 3),
                     "ref_spread": round(rspread, 3) if rspread is not None else None,
                 }
@@ -253,6 +281,8 @@ def head_to_head(corpus_path: Path, bits_list=(10, 12, 15), families="raw block 
                         row["ref_ratio_pct"] = round(rratio, 2)
                 if op == "decode" and "decode_impl" in r:
                     row["ref_impl"] = r["decode_impl"]
+                if row["vs_ref_rounds"] is None:
+                    del row["vs_ref_rounds"]
                 rows.append(row)
     return rows
 
@@ -280,7 +310,15 @@ def merge_into_file(rows: list[dict], corpus, rounds, fresh: bool = False) -> li
                 r["ours_mib_s"] = max(r["ours_mib_s"], o["ours_mib_s"])
                 if r.get("ref_mib_s") is not None:
                     r["ref_mib_s"] = max(r["ref_mib_s"], o["ref_mib_s"])
-                    r["vs_ref"] = round(r["ours_mib_s"] / r["ref_mib_s"], 3)
+                    r["vs_ref_sides"] = round(r["ours_mib_s"] / r["ref_mib_s"], 3)
+                    # vs_ref stays PAIRED: median over every accumulated
+                    # paired round (same-window ratios only); old rows that
+                    # predate pairing contribute nothing rather than a
+                    # cross-epoch best-sides ratio
+                    allr = (r.get("vs_ref_rounds") or []) + (o.get("vs_ref_rounds") or [])
+                    if allr:
+                        r["vs_ref_rounds"] = allr
+                        r["vs_ref"] = round(_median(allr), 3)
                 for k in ("ours_spread", "ref_spread"):
                     if o.get(k) is not None and r.get(k) is not None:
                         r[k] = max(r[k], o[k])

@@ -9,7 +9,13 @@ B.DETAIL_PATH = "/tmp/sweep_detail.json"
 from hsrans_tpu.ops.mt import mt_encode
 from hsrans_tpu.parallel.sharded import device_plan
 
+import os
+
 xr_big = np.fromfile("/root/repo/tests/corpus/xray.bin", np.uint8)
+# tile to the bench's working-set size (bench.py SIZE_MB, default 64 MiB):
+# rates measured on the raw 8 MiB file run ~25-35% hotter than the bench's
+# 64 MiB rows (observed B10 23.7 vs 17.4 GiB/s), so sweep on the same shape
+xr_big = np.tile(xr_big, max(1, int(os.environ.get("HSRANS_BENCH_MB", "64")) // 8))
 cells = []
 for a in sys.argv[1:]:
     bits, caps = a.split(":")
