@@ -702,6 +702,7 @@ def _mt64_pair_kernel(
     s4c_slice: int,
     rank64: bool = False,
     same_tab: bool = False,
+    cb16: bool = False,
 ):
     s4 = pl.program_id(1)
 
@@ -785,24 +786,38 @@ def _mt64_pair_kernel(
     def step_fn(i, carry):
         states, rw, acc = carry
         slot = states & mask_slot
-        k = pltpu.bitcast(slot, jnp.int32) >> 5
-        if same_tab:
-            # both halves decode the SAME histogram (device_plan siblings):
-            # the A-side tables serve all 128 lanes — no B gathers, no
-            # where(is_b) on any table read (up to 3 gathers + 2 selects
-            # off the issue-bound step at B=12 dense alphabets)
-            c0v = jnp.take_along_axis(c0a, k, axis=1)
-            bmv = jnp.take_along_axis(bma, pltpu.bitcast(k, jnp.uint32), axis=1)
-        elif merged_cb:
-            kk = k | hi64
-            c0v = jnp.take_along_axis(c0a, kk, axis=1)
-            bmv = jnp.take_along_axis(bma, pltpu.bitcast(kk, jnp.uint32), axis=1)
+        if cb16:
+            # packed 16-slot buckets: ONE gather yields bm (low u16) and
+            # c0 (high bits); the (2<<(slot&15))-2 mask tops out at 0xFFFE
+            # so it never touches the c0 half — rank in 1 gather + shift +
+            # popcount where c0/bm cost 2 gathers
+            k16 = pltpu.bitcast(slot, jnp.int32) >> 4
+            idx16 = k16 if same_tab else (k16 | hi64)
+            v16 = pltpu.bitcast(jnp.take_along_axis(c0a, idx16, axis=1), jnp.uint32)
+            m16 = (jnp.uint32(2) << (slot & jnp.uint32(15))) - jnp.uint32(2)
+            rank = pltpu.bitcast(v16 >> jnp.uint32(16), jnp.int32) + pltpu.bitcast(
+                jax.lax.population_count(v16 & m16), jnp.int32
+            )
         else:
-            ku = pltpu.bitcast(k, jnp.uint32)
-            c0v = jnp.where(is_b, jnp.take_along_axis(c0b, k, axis=1), jnp.take_along_axis(c0a, k, axis=1))
-            bmv = jnp.where(is_b, jnp.take_along_axis(bmb, ku, axis=1), jnp.take_along_axis(bma, ku, axis=1))
-        m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
-        rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
+            k = pltpu.bitcast(slot, jnp.int32) >> 5
+            if same_tab:
+                # both halves decode the SAME histogram (device_plan
+                # siblings): the A-side tables serve all 128 lanes — no B
+                # gathers, no where(is_b) on any table read (up to 3
+                # gathers + 2 selects off the issue-bound step at B=12
+                # dense alphabets)
+                c0v = jnp.take_along_axis(c0a, k, axis=1)
+                bmv = jnp.take_along_axis(bma, pltpu.bitcast(k, jnp.uint32), axis=1)
+            elif merged_cb:
+                kk = k | hi64
+                c0v = jnp.take_along_axis(c0a, kk, axis=1)
+                bmv = jnp.take_along_axis(bma, pltpu.bitcast(kk, jnp.uint32), axis=1)
+            else:
+                ku = pltpu.bitcast(k, jnp.uint32)
+                c0v = jnp.where(is_b, jnp.take_along_axis(c0b, k, axis=1), jnp.take_along_axis(c0a, k, axis=1))
+                bmv = jnp.where(is_b, jnp.take_along_axis(bmb, ku, axis=1), jnp.take_along_axis(bma, ku, axis=1))
+            m = (jnp.uint32(2) << (slot & jnp.uint32(31))) - jnp.uint32(2)
+            rank = c0v + pltpu.bitcast(jax.lax.population_count(bmv & m), jnp.int32)
         if same_tab and small_rank:
             v1 = pltpu.bitcast(jnp.take_along_axis(tpa, rank, axis=1), jnp.uint32)
         elif same_tab:
@@ -901,13 +916,13 @@ def _tri_pair_operand():
     return _TRI_PAIR
 
 
-def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw, *, g_rows, n_groups, s4c_slice, w_chunks, bits, small_rank, interpret, rank64=False, same_tab=False):
+def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, states, rw, *, g_rows, n_groups, s4c_slice, w_chunks, bits, small_rank, interpret, rank64=False, same_tab=False, cb16=False):
     """One time slice of the paired decode: s4c_slice invocations per group,
     states/cursors in and out (so the driver can regroup rows between
     slices)."""
     kernel = functools.partial(
         _mt64_pair_kernel, g_rows=g_rows, bits=bits, small_rank=small_rank,
-        s4c_slice=s4c_slice, rank64=rank64, same_tab=same_tab,
+        s4c_slice=s4c_slice, rank64=rank64, same_tab=same_tab, cb16=cb16,
     )
     row_spec = pl.BlockSpec((g_rows, 128), lambda g, s4: (g, 0), memory_space=pltpu.VMEM)
     npad = n_groups * g_rows
@@ -948,8 +963,8 @@ def _pairs_slice_call(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, stat
 _SLICE_S4 = int(_os.environ.get("HSRANS_SLICE_S4", "1000000"))
 
 
-@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret", "rank64", "same_tab"))
-def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False, rank64=False, same_tab=False):
+@functools.partial(jax.jit, static_argnames=("g_rows", "n_groups", "s4c", "w_chunks", "bits", "small_rank", "interpret", "rank64", "same_tab", "cb16"))
+def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *, g_rows, n_groups, s4c, w_chunks, bits, small_rank=True, interpret=False, rank64=False, same_tab=False, cb16=False):
     """Time-sliced paired decode with cursor regrouping.
 
     Rows of one bucket drift apart in stream position as they decode
@@ -967,7 +982,7 @@ def _decode_pairs(c0a, c0b, bma, bmb, tpa, tpb, tpa_hi, tpb_hi, stream, init, *,
     perm = jnp.arange(npad, dtype=jnp.int32)
     n_slices = -(-s4c // _SLICE_S4)
     outs = []
-    kw = dict(g_rows=g_rows, n_groups=n_groups, w_chunks=w_chunks, bits=bits, small_rank=small_rank, interpret=interpret, rank64=rank64, same_tab=same_tab)
+    kw = dict(g_rows=g_rows, n_groups=n_groups, w_chunks=w_chunks, bits=bits, small_rank=small_rank, interpret=interpret, rank64=rank64, same_tab=same_tab, cb16=cb16)
     for t in range(n_slices):
         if t > 0 and n_slices > 1 and npad > g_rows:
             order = jnp.argsort(rw[:, 0])
@@ -1041,6 +1056,11 @@ def build_pair_arrays(
         np.array_equal(kernel_blocks[2 * p].freq, kernel_blocks[2 * p + 1].freq)
         for p in range(pairs)
     )
+    # packed 16-slot c0bm (one gather where c0+bm cost two): B10 always
+    # (64 entries/side -> A in lanes 0..63, B in 64..127, index k16|hi64);
+    # B11 only when same_tab (128 entries fill the whole A row)
+    cb16 = bits == 10 or (bits == 11 and same_tab)
+    n16 = (1 << bits) // 16
     for i in range(nbp):
         b = kernel_blocks[i]
         hist = complete_hist(b.freq, bits)
@@ -1052,9 +1072,17 @@ def build_pair_arrays(
         (bmb if hi else bma)[p, :n_buckets] = rt["bm"]
         (tpb if hi else tpa)[p] = rt["tp"][:128]
         (tpb_hi if hi else tpa_hi)[p] = rt["tp"][128:]
-        if merged_cb and hi:
+        if merged_cb and hi and not cb16:
             c0a[p, 64 : 64 + n_buckets] = rt["c0"]
             bma[p, 64 : 64 + n_buckets] = rt["bm"]
+        if cb16:
+            # the packed table REPLACES c0/bm in the c0a operand (the
+            # kernel never reads c0/bm on this path); B11 same_tab fills
+            # the whole 128-lane row, so the merged_cb write is skipped
+            if not hi:
+                c0a[p, :n16] = rt["cb16"]
+            elif not same_tab:
+                c0a[p, 64 : 64 + n16] = rt["cb16"]
         if rank64 and hi:
             tpa[p, 64:128] = rt["tp"][:64]
         words = stream[b.word_start : b.word_start + w_counts[i]].astype(np.uint32)
@@ -1069,7 +1097,7 @@ def build_pair_arrays(
     kw = dict(
         g_rows=g_rows, n_groups=npad // g_rows // n_dev, s4c=size0 // 256,
         w_chunks=w_chunks, bits=bits, small_rank=small_rank, rank64=rank64,
-        same_tab=same_tab,
+        same_tab=same_tab, cb16=cb16,
     )
     return arrs, kw
 
@@ -1154,7 +1182,8 @@ def decode_bucket_paired(
         kwc = dict(
             g_rows=kw["g_rows"], n_groups=kw["n_groups"], s4c_slice=kw["s4c"],
             w_chunks=kw["w_chunks"], bits=bits, small_rank=kw["small_rank"],
-            rank64=kw["rank64"], same_tab=kw["same_tab"], interpret=interpret,
+            rank64=kw["rank64"], same_tab=kw["same_tab"], cb16=kw["cb16"],
+            interpret=interpret,
         )
         fn = jax.shard_map(
             lambda *a: _pairs_slice_call(*a, **kwc)[0],

@@ -175,6 +175,17 @@ def make_rank_tables(hist: Hist) -> dict[str, np.ndarray]:
             | (hist.cumul[present].astype(np.uint32) << np.uint32(20))
         )
         out["tp"] = tp.view(np.int32)
+    if hist.total_symbol_count_bits <= 11:
+        # 16-slot buckets pack bm (u16, bits 0..15) and c0 (<= 256, bits
+        # 16..) into ONE u32: rank = (v>>16) + popcount(v & ((2<<(slot&15))
+        # - 2)) — the -2 mask never touches bit 0 or the c0 half, so no
+        # extra masking.  One table gather per step where c0/bm cost two;
+        # 2^B/16 entries = 64 at B10 / 128 at B11 (one lane-shuffle).
+        n16 = total // 16
+        c0_16 = inv_rank[::16].astype(np.uint32)
+        bits16 = first.reshape(n16, 16)
+        bm16 = (bits16.astype(np.uint32) << np.arange(16, dtype=np.uint32)[None, :]).sum(axis=1)
+        out["cb16"] = (bm16 | (c0_16 << np.uint32(16))).astype(np.uint32).view(np.int32)
     return out
 
 

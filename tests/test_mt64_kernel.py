@@ -538,3 +538,66 @@ def test_mt64_pair_hb_packed32_dense_b13():
     assert built[1]["gbits"] == 5
     assert mt_decode(blob, 13, 64) == data.tobytes()
     assert mt64_decode_tpu(blob, 13, interpret=True) == data.tobytes()
+
+
+@pytest.mark.parametrize("bits", (10, 11))
+def test_mt64_pair_cb16_packed_rank_buckets(bits):
+    """The packed 16-slot c0bm table (bm u16 | c0 << 16, one gather where
+    c0/bm cost two) must engage at B=10 for any pairing and at B=11 for
+    same-hist pairs, and decode bit-exactly on both the mixed and the
+    same_tab path."""
+    from hsrans_tpu.kernels.mt64_decode import (
+        block_index,
+        block_word_counts,
+        build_pair_arrays,
+    )
+
+    rng = np.random.default_rng(77)
+    ranks = rng.zipf(1.1, 200_000)
+    data = ((ranks - 1) % 200).astype(np.uint8)  # dense-ish alphabet
+    blob = _blob(data, 4096, bits=bits)
+    _, stream, blocks = block_index(blob, 64)
+    coded = [b for b in blocks if not b.is_single][:-1]
+    wc = block_word_counts(blocks, coded, stream)
+    nbp = len(coded) // 2 * 2
+    built = build_pair_arrays(coded[:nbp], wc[:nbp], stream, bits)
+    assert built is not None
+    if bits == 10:
+        assert built[1]["cb16"], "cb16 must engage at B=10"
+    else:
+        # mixed-hist pairs at B=11 keep the merged c0/bm layout
+        assert built[1]["cb16"] == built[1]["same_tab"]
+    assert mt_decode(blob, bits, 64) == data.tobytes()
+    assert mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
+
+
+def test_mt64_pair_cb16_same_tab_device_plan(bits=11):
+    """device_plan same-hist siblings at B=11 engage cb16 + same_tab
+    together (128-entry packed table fills the whole A row)."""
+    import hsrans_tpu.kernels.mt64_decode as m
+    from hsrans_tpu.ops.mt import mt_encode
+    from hsrans_tpu.parallel.sharded import device_plan
+
+    rng = np.random.default_rng(78)
+    ranks = rng.zipf(1.2, 400_000)
+    data = ((ranks - 1) % 128).astype(np.uint8) * 2
+    blob = mt_encode(data, bits, 64, plan=device_plan(data, bits, 64, 16 << 10))
+
+    seen = []
+    orig = m.build_pair_arrays
+
+    def spy(*a, **k):
+        built = orig(*a, **k)
+        if built is not None:
+            seen.append((built[1]["same_tab"], built[1]["cb16"]))
+        return built
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(m, "build_pair_arrays", spy)
+        assert m.mt64_decode_tpu(blob, bits, interpret=True) == data.tobytes()
+    finally:
+        mp.undo()
+    assert any(st and cb for st, cb in seen), "same_tab+cb16 never engaged"
